@@ -36,3 +36,41 @@ class Linker:
 
 
 NULL_LINKER = Linker()
+
+MENTION_SENTINEL = "urn:mention:"
+
+
+class DeferredLinker(Linker):
+    """Linker used inside the Spark extract UDF: it *decides* link hits from a
+    broadcast membership set but defers URI resolution to the pipeline's
+    broadcast-hash join (engine/linking.py).
+
+    A hit returns the sentinel ``urn:mention:<lang>:<surface>``; the join stage
+    replaces it with coalesce(dbpedia_uri, wikidata_uri).  dbpedia() returns
+    None so the sentinel survives the mapper's sameAs step intact.
+
+    Scale rationale: executors only need the *key set* of the mention index
+    (compact, broadcastable); the value-bearing index stays a distributed
+    table joined once, instead of a driver-shipped dict of every URI.
+    """
+
+    def __init__(self, linkable_keys):
+        super().__init__()
+        self.linkable = linkable_keys  # set of (lang, surface)
+
+    def wikidata(self, surface: str, lang: str):
+        if (lang, surface) in self.linkable:
+            return f"{MENTION_SENTINEL}{lang}:{surface}"
+        return None
+
+    def dbpedia(self, wikidata_uri: str, lang: str):
+        return None
+
+
+def split_sentinel(uri: str):
+    """urn:mention:<lang>:<surface> -> (lang, surface) or None."""
+    if not uri.startswith(MENTION_SENTINEL):
+        return None
+    rest = uri[len(MENTION_SENTINEL):]
+    lang, _, surface = rest.partition(":")
+    return lang, surface

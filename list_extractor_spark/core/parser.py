@@ -47,6 +47,9 @@ def parse_spans(spans, lang: str = "en") -> dict:
     last_sec_lev = 0
 
     title = None  # current section title path; None until first heading
+    fresh = False  # new section instance: first item overwrites a same-title
+    # entry, mirroring the reference's dict.update per section
+    # (wikiParser.py:58: a repeated title's later section wins)
     for kind, text, _media, _off in seq:
         if kind.startswith("section:"):
             level = int(kind.split(":", 1)[1])
@@ -60,11 +63,15 @@ def parse_spans(spans, lang: str = "en") -> dict:
                 title = header_title + " - " + text
             last_sec_title = title
             last_sec_lev = level
+            fresh = True
         elif kind.startswith("list_item:"):
             if title is None:
                 continue  # list item before any heading: no section to attach
             level = int(kind.split(":", 1)[1])
-            sect_list = lists.setdefault(title, [])
+            if fresh:
+                lists[title] = []
+                fresh = False
+            sect_list = lists[title]
             if level > 1:
                 # one single-element wrapper per nested item
                 # (reference wikiParser.py:105-109)

@@ -1,0 +1,92 @@
+"""Canonicalization stage (L6): pointer-halving closure over identity edges.
+
+Directed identity edges (redirect src->dst, sameAs wikidata->dbpedia) form
+parent pointers; the canonical IRI is the chain's sink.  The closure runs the
+classic pointer-doubling iteration — parent := parent(parent) — as a self-join
+per round, so chains of length L resolve in ceil(log2 L) shuffles.  This is
+the DataFrame form of union-find path compression (the large-star step of
+connected components); min-IRI tie-breaking bounds pathological cycles.
+
+Scale: each round is one equi-join of the (uri, parent) set with itself —
+at 10^12 docs the edge set (redirect+sameAs dumps, ~10^8 rows) is orders
+smaller than the triple set, so the loop is cheap; only the final application
+join touches the triples, and it broadcasts when the map is small enough.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def canonical_map_df(edges: DataFrame, max_iters: int = 12) -> DataFrame:
+    """edges(uri, parent) -> (uri, canonical) for every uri that changes.
+
+    Pointer doubling: each round rewrites parent -> grandparent where one
+    exists.  Converged when no row changed.  Cycle guard: if max_iters rounds
+    don't converge, remaining chains collapse to the min IRI seen (matches the
+    pure oracle in core/canonical.py for acyclic and simple-cycle inputs).
+    """
+    cur = edges.select("uri", F.col("parent").alias("canonical"))
+    for _ in range(max_iters):
+        nxt = (
+            cur.alias("a")
+            .join(
+                cur.select(
+                    F.col("uri").alias("p_uri"), F.col("canonical").alias("p_canonical")
+                ).alias("b"),
+                F.col("a.canonical") == F.col("b.p_uri"),
+                "left",
+            )
+            .select(
+                F.col("a.uri").alias("uri"),
+                F.coalesce("b.p_canonical", "a.canonical").alias("canonical"),
+                (F.col("b.p_canonical").isNotNull()
+                 & (F.col("b.p_canonical") != F.col("a.canonical"))).alias("changed"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage each round
+        )
+        n_changed = nxt.filter("changed").limit(1).count()
+        cur = nxt.drop("changed")
+        if n_changed == 0:
+            break
+    return cur.filter(F.col("uri") != F.col("canonical"))
+
+
+def identity_edges(
+    redirects: DataFrame, sameas: DataFrame, dbr: str = "http://dbpedia.org/resource/"
+) -> DataFrame:
+    r = redirects.select(
+        F.concat(F.lit(dbr), "src").alias("uri"), F.concat(F.lit(dbr), "dst").alias("parent")
+    )
+    s = sameas.select(
+        F.col("wikidata_uri").alias("uri"), F.col("dbpedia_uri").alias("parent")
+    )
+    return r.unionByName(s)
+
+
+def apply_canonical_df(triples: DataFrame, cmap: DataFrame, broadcast: bool = True) -> DataFrame:
+    """Rewrite subj and IRI objects through the canonical map.  Literal objects
+    (obj_dt non-null) are never rewritten."""
+    cm = F.broadcast(cmap) if broadcast else cmap
+    out = (
+        triples.join(
+            cm.select(F.col("uri").alias("subj"), F.col("canonical").alias("subj_c")),
+            "subj",
+            "left",
+        )
+        .join(
+            cm.select(F.col("uri").alias("obj"), F.col("canonical").alias("obj_c")),
+            "obj",
+            "left",
+        )
+        .select(
+            triples["doc_id"] if "doc_id" in triples.columns else F.lit(None).alias("doc_id"),
+            F.coalesce("subj_c", "subj").alias("subj"),
+            "pred",
+            F.when(F.col("obj_dt").isNull(), F.coalesce("obj_c", "obj"))
+            .otherwise(F.col("obj"))
+            .alias("obj"),
+            "obj_dt",
+        )
+    )
+    return out

@@ -1,0 +1,160 @@
+"""Narrow extract stage: documents -> candidate triples, zero shuffle.
+
+Replaces the reference's serial per-page loop (listExtractor.py:122-142:
+JVM subprocess per page + HTTP per element) with ONE Arrow-batched
+``mapInPandas`` pass that fuses parse (P1-P3), rule dispatch (D1-D3) and the
+mapper cascade (M1-M15) per document:
+
+  * the span array stays whole inside one row, so the section-title state
+    machine folds in document order with no shuffle and no explode;
+  * per-document state the reference relies on (mapped_domains, sticky award
+    status, the staff-vs-alumni within-page anti-join) is naturally scoped;
+  * rule tables ride along as broadcast variables captured in the closure;
+  * entity-link *decisions* use a broadcast key set, URI *resolution* is left
+    to the downstream broadcast-hash join (engine/linking.py) — at full scale
+    only the compact key set ships to executors.
+
+Scale note: mega "List of ..." pages make single heavy rows.  The stage
+optionally pre-distributes by span count (repartitionByRange on n_spans) so a
+few hub documents don't serialize one task; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..core.links import DeferredLinker, Linker, split_sentinel
+from ..core.mappers import extract_document
+from ..core.parser import parse_spans
+from .schemas import CANDIDATES_SCHEMA, ITEMS_SCHEMA, METRICS_SCHEMA
+
+
+def _spans_from_cell(cell):
+    # Arrow hands the array<struct> column as a numpy array of dicts
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in cell]
+
+
+def extract_candidates(
+    documents: DataFrame,
+    linkable_keys=None,
+    full_linker: Linker | None = None,
+    skew_repartition: bool = False,
+) -> DataFrame:
+    """documents(doc_id, lang, res_class, spans[, res_target]) -> candidates.
+
+    ``linkable_keys``: broadcastable set of (lang, surface) mention keys; link
+    resolution is deferred to the join stage via sentinels.  Passing
+    ``full_linker`` instead resolves in-UDF (used by small-scale parity runs).
+    ``res_target``: optional redirect-resolved page id (defaults to doc_id).
+    """
+    sc = documents.sparkSession.sparkContext
+    if full_linker is not None:
+        b_linker = sc.broadcast(full_linker)
+        deferred = False
+    else:
+        b_linker = sc.broadcast(DeferredLinker(linkable_keys or set()))
+        deferred = True
+
+    if "res_target" not in documents.columns:
+        documents = documents.withColumn("res_target", F.col("doc_id"))
+
+    if skew_repartition:
+        documents = documents.withColumn("n_spans", F.size("spans")).repartitionByRange(
+            "n_spans", "doc_id"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        linker = b_linker.value
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "subj": [],
+                "pred": [],
+                "obj": [],
+                "obj_dt": [],
+                "link_lang": [],
+                "link_surface": [],
+            }
+            for doc_id, lang, res_class, spans, res_target in zip(
+                pdf["doc_id"], pdf["lang"], pdf["res_class"], pdf["spans"], pdf["res_target"]
+            ):
+                triples, _stats = extract_document(
+                    res_target, res_class, lang, _spans_from_cell(spans), linker
+                )
+                for s, p, o, dt in triples:
+                    ll, ls = None, None
+                    if deferred:
+                        hit = split_sentinel(s)
+                        if hit is not None:
+                            ll, ls = hit
+                    out["doc_id"].append(doc_id)
+                    out["subj"].append(s)
+                    out["pred"].append(p)
+                    out["obj"].append(o)
+                    out["obj_dt"].append(dt)
+                    out["link_lang"].append(ll)
+                    out["link_surface"].append(ls)
+            yield pd.DataFrame(out)
+
+    cols = [F.col(f.name) for f in CANDIDATES_SCHEMA.fields]
+    return documents.mapInPandas(run, schema=CANDIDATES_SCHEMA).select(*cols)
+
+
+def parse_items(documents: DataFrame) -> DataFrame:
+    """Standalone parse stage (P1-P3): documents -> one row per list item.
+
+    Used for the per-row parse-invariant check and as the resumability
+    boundary mirroring the reference's resDict debug dump (utilities.py:101-153).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in ITEMS_SCHEMA.fields}
+            for doc_id, lang, res_class, spans in zip(
+                pdf["doc_id"], pdf["lang"], pdf["res_class"], pdf["spans"]
+            ):
+                res_dict = parse_spans(_spans_from_cell(spans), lang)
+                for section_path, items in res_dict.items():
+                    for idx, item in enumerate(items):
+                        nested = isinstance(item, list)
+                        texts = item if nested else [item]
+                        for t in texts:
+                            rows["doc_id"].append(doc_id)
+                            rows["lang"].append(lang)
+                            rows["res_class"].append(res_class)
+                            rows["section_path"].append(section_path)
+                            rows["item_idx"].append(idx)
+                            rows["depth"].append(2 if nested else 1)
+                            rows["item_text"].append(t)
+            yield pd.DataFrame(rows)
+
+    return documents.mapInPandas(run, schema=ITEMS_SCHEMA)
+
+
+def extract_metrics(documents: DataFrame, linkable_keys=None) -> DataFrame:
+    """Per-document extraction stats (the reference's evaluate() numbers,
+    utilities.py:319-346), computed in the same narrow pass shape."""
+    sc = documents.sparkSession.sparkContext
+    b_linker = sc.broadcast(DeferredLinker(linkable_keys or set()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        linker = b_linker.value
+        for pdf in batches:
+            rows = {k.name: [] for k in METRICS_SCHEMA.fields}
+            for doc_id, lang, res_class, spans in zip(
+                pdf["doc_id"], pdf["lang"], pdf["res_class"], pdf["spans"]
+            ):
+                triples, (n_sections, n_items, n_extracted) = extract_document(
+                    doc_id, res_class, lang, _spans_from_cell(spans), linker
+                )
+                rows["doc_id"].append(doc_id)
+                rows["n_sections"].append(n_sections)
+                rows["n_items"].append(n_items)
+                rows["n_extracted"].append(n_extracted)
+                rows["n_triples"].append(len(triples))
+            yield pd.DataFrame(rows)
+
+    return documents.mapInPandas(run, schema=METRICS_SCHEMA)

@@ -1,0 +1,93 @@
+"""Linking join stage (L1-L3): resolve deferred mention sentinels.
+
+Replaces the reference's two HTTP round-trips per element
+(wikidataAPI_call mapper.py:1547-1577; find_DBpedia_uri mapper.py:1580-1602)
+with one broadcast-hash join against the snapshotted mention index followed by
+a broadcast-hash join against the sameAs snapshot:
+
+    subj = coalesce(sameas.dbpedia_uri, mention_index.wikidata_uri)
+
+Skew: hub mentions ("List of ..." pages link the same few entities millions of
+times) make hot join keys.  With a broadcast build side there is no shuffle so
+key skew costs nothing; the optional ``salt`` path demonstrates the shuffled
+variant for when the index outgrows the broadcast threshold: the probe side
+gets a random salt column, the build side is exploded K ways, and AQE
+skew-join splitting handles the residue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def resolve_links(
+    candidates: DataFrame,
+    mention_index: DataFrame,
+    sameas: DataFrame,
+    salt: int = 0,
+) -> DataFrame:
+    """candidates (with link_lang/link_surface on deferred rows) -> triples
+    (doc_id, subj, pred, obj, obj_dt) with sentinels resolved."""
+    deferred = candidates.filter(F.col("link_surface").isNotNull())
+    direct = candidates.filter(F.col("link_surface").isNull()).select(
+        "doc_id", "subj", "pred", "obj", "obj_dt"
+    )
+
+    # top-1 semantics of the reference's wbsearchentities result (mapper.py:1566):
+    # the snapshot carries a rank column; keep rank-1 rows only.
+    idx = mention_index.filter(F.col("rank") == 1).select(
+        F.col("lang").alias("mi_lang"),
+        F.col("surface").alias("mi_surface"),
+        "wikidata_uri",
+    )
+    sa = sameas.select("wikidata_uri", "dbpedia_uri")
+
+    if salt > 1:
+        # Shuffled-hash path with salting for when the index exceeds broadcast:
+        # replicate the build side K ways, randomize the probe side's salt.
+        idx = idx.crossJoin(
+            F.broadcast(
+                idx.sparkSession.range(salt).select(F.col("id").cast("int").alias("mi_salt"))
+            )
+        )
+        deferred = deferred.withColumn(
+            "salt_k", F.pmod(F.abs(F.hash("doc_id", "pred", "obj")), F.lit(salt)).cast("int")
+        )
+        join_cond = (
+            (F.col("link_lang") == F.col("mi_lang"))
+            & (F.col("link_surface") == F.col("mi_surface"))
+            & (F.col("salt_k") == F.col("mi_salt"))
+        )
+        resolved = deferred.join(idx, join_cond, "left")
+    else:
+        resolved = deferred.join(
+            F.broadcast(idx),
+            (F.col("link_lang") == F.col("mi_lang"))
+            & (F.col("link_surface") == F.col("mi_surface")),
+            "left",
+        )
+
+    resolved = (
+        resolved.join(F.broadcast(sa), "wikidata_uri", "left")
+        .select(
+            "doc_id",
+            # sentinels only exist for keys present in the index, so wikidata_uri
+            # is non-null here; dbpedia wins when the sameAs snapshot has it
+            # (reference mapper.py:876-880).
+            F.coalesce("dbpedia_uri", "wikidata_uri", "subj").alias("subj"),
+            "pred",
+            "obj",
+            "obj_dt",
+        )
+    )
+    return direct.unionByName(resolved)
+
+
+def resolve_redirects(documents: DataFrame, redirects: DataFrame) -> DataFrame:
+    """S2: left-outer join + coalesce replaces the reference's re-fetch under
+    the redirect target (wikiParser.py:298-334, caller :51-53).  The resolved
+    id becomes the page resource used in emitted triples."""
+    r = redirects.select(F.col("src").alias("doc_id"), F.col("dst"))
+    return documents.join(F.broadcast(r), "doc_id", "left").withColumn(
+        "res_target", F.coalesce("dst", "doc_id")
+    ).drop("dst")

@@ -1,0 +1,162 @@
+"""End-to-end KG-construction pipeline with checkpointed, resumable stages.
+
+    documents ──①redirect join──②extract (narrow mapInPandas)──③link join──
+    ──④canonicalize──⑤dedup + materialize (partitioned parquet + lineage)
+
+Stage outputs land under ``run_dir/<stage>/`` as parquet with Spark's
+``_SUCCESS`` marker; a resumed run reuses any stage whose output committed,
+so a kill between stages replays nothing and reproduces the identical triple
+set (property-tested).  A ``_lineage`` table records per-stage row counts and
+wall time — the scalable version of the reference's evaluation.csv
+(utilities.py:319-346).
+
+Shuffle budget at scale: ① and ③ are broadcast joins (no shuffle of the big
+side), ② is narrow, ④ touches only the small identity-edge set plus one
+map-side broadcast application, ⑤ is the single unavoidable shuffle
+(global (s,p,o,dt) dedup, the reference's rdflib set semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .canonicalize import apply_canonical_df, canonical_map_df, identity_edges
+from .extract import extract_candidates
+from .linking import resolve_links, resolve_redirects
+from .schemas import (
+    MENTION_INDEX_SCHEMA,
+    REDIRECTS_SCHEMA,
+    SAMEAS_SCHEMA,
+)
+
+
+def snapshots_to_dfs(spark: SparkSession, snapshots: dict):
+    mention_index = spark.createDataFrame(
+        snapshots.get("mention_index", []), schema=MENTION_INDEX_SCHEMA
+    )
+    sameas = spark.createDataFrame(snapshots.get("sameas", []), schema=SAMEAS_SCHEMA)
+    redirects = spark.createDataFrame(snapshots.get("redirects", []), schema=REDIRECTS_SCHEMA)
+    return mention_index, sameas, redirects
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        run_dir: str | None = None,
+        salt: int = 0,
+        skew_repartition: bool = False,
+    ):
+        self.spark = spark
+        self.run_dir = run_dir
+        self.salt = salt
+        self.skew_repartition = skew_repartition
+        self._lineage: list[dict] = []
+
+    # -- checkpoint helpers ------------------------------------------------
+    def _stage_path(self, name: str) -> str | None:
+        return os.path.join(self.run_dir, name) if self.run_dir else None
+
+    def _is_done(self, name: str) -> bool:
+        p = self._stage_path(name)
+        return bool(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def _checkpoint(self, df: DataFrame, name: str) -> DataFrame:
+        """Materialize a stage boundary.  With a run_dir this is a durable
+        parquet commit (the resume point); without, a localCheckpoint."""
+        t0 = time.time()
+        p = self._stage_path(name)
+        if p is None:
+            out = df.localCheckpoint(eager=True)
+            n = out.count()
+        else:
+            if not self._is_done(name):
+                df.write.mode("overwrite").parquet(p)
+            out = self.spark.read.parquet(p)
+            n = out.count()
+        self._lineage.append(
+            {"stage": name, "rows": n, "sec": round(time.time() - t0, 3),
+             "reused": self._is_done(name) and p is not None}
+        )
+        return out
+
+    # -- the pipeline ------------------------------------------------------
+    def run(
+        self,
+        documents: DataFrame,
+        mention_index: DataFrame,
+        sameas: DataFrame,
+        redirects: DataFrame,
+        linkable_keys=None,
+        canonicalize: bool = True,
+    ) -> DataFrame:
+        if linkable_keys is None:
+            linkable_keys = {
+                (r["lang"], r["surface"])
+                for r in mention_index.select("lang", "surface").collect()
+            }
+
+        if self._is_done("candidates"):
+            candidates = self.spark.read.parquet(self._stage_path("candidates"))
+            self._lineage.append({"stage": "candidates", "rows": candidates.count(),
+                                  "sec": 0.0, "reused": True})
+        else:
+            docs = resolve_redirects(documents, redirects)
+            candidates = self._checkpoint(
+                extract_candidates(
+                    docs, linkable_keys=linkable_keys,
+                    skew_repartition=self.skew_repartition,
+                ),
+                "candidates",
+            )
+
+        if self._is_done("linked"):
+            linked = self.spark.read.parquet(self._stage_path("linked"))
+            self._lineage.append({"stage": "linked", "rows": linked.count(),
+                                  "sec": 0.0, "reused": True})
+        else:
+            linked = self._checkpoint(
+                resolve_links(candidates, mention_index, sameas, salt=self.salt), "linked"
+            )
+
+        if canonicalize:
+            cmap = canonical_map_df(identity_edges(redirects, sameas))
+            linked = apply_canonical_df(linked, cmap)
+
+        triples = linked.dropDuplicates(["subj", "pred", "obj", "obj_dt"]).select(
+            "subj", "pred", "obj", "obj_dt"
+        )
+        triples = self._checkpoint(triples, "triples")
+        self._write_lineage()
+        return triples
+
+    def _write_lineage(self):
+        if self.run_dir:
+            os.makedirs(self.run_dir, exist_ok=True)
+            with open(os.path.join(self.run_dir, "_lineage.json"), "w") as f:
+                json.dump(self._lineage, f, indent=1)
+
+    @property
+    def lineage(self):
+        return list(self._lineage)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    snapshots: dict,
+    run_dir: str | None = None,
+    canonicalize: bool = True,
+    salt: int = 0,
+    skew_repartition: bool = False,
+) -> DataFrame:
+    """Convenience wrapper: snapshots dict -> DataFrames -> Pipeline.run."""
+    mention_index, sameas, redirects = snapshots_to_dfs(spark, snapshots)
+    pipe = Pipeline(spark, run_dir=run_dir, salt=salt, skew_repartition=skew_repartition)
+    return pipe.run(
+        documents, mention_index, sameas, redirects, canonicalize=canonicalize
+    )

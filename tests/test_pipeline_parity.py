@@ -1,0 +1,131 @@
+"""End-to-end parity gate: Spark pipeline triple set == pure-Python oracle
+(BASELINE.md §2: P/R >= 0.95; the engine targets exact agreement), plus the
+per-row parse invariant, parallelism invariance, canonicalization agreement
+and kill-and-resume reproducibility."""
+
+import shutil
+
+import pytest
+
+from list_extractor_spark.core.parser import parse_spans
+from list_extractor_spark.engine.extract import parse_items
+from list_extractor_spark.engine.pipeline import Pipeline, run_pipeline, snapshots_to_dfs
+from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA
+from list_extractor_spark.fixtures import corpus_to_rows, make_corpus, make_snapshots
+from list_extractor_spark.fixtures.oracle import oracle_triples
+
+N_DOCS = 36
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(N_DOCS, hub_every=24, hub_items=60)
+
+
+@pytest.fixture(scope="module")
+def snapshots():
+    return make_snapshots()
+
+
+@pytest.fixture(scope="module")
+def documents_df(spark, corpus):
+    return spark.createDataFrame(corpus_to_rows(corpus), schema=DOCUMENTS_SCHEMA)
+
+
+def _collect_triples(df):
+    return {(r["subj"], r["pred"], r["obj"], r["obj_dt"]) for r in df.collect()}
+
+
+def _pr(got, want):
+    tp = len(got & want)
+    precision = tp / len(got) if got else 1.0
+    recall = tp / len(want) if want else 1.0
+    return precision, recall
+
+
+def test_pipeline_matches_oracle_exactly(spark, corpus, snapshots, documents_df):
+    got = _collect_triples(run_pipeline(spark, documents_df, snapshots))
+    want = oracle_triples(corpus, snapshots)
+    precision, recall = _pr(got, want)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # engine target is exact agreement — show diffs on failure
+    assert got == want, (
+        sorted(got - want)[:5],
+        sorted(want - got)[:5],
+    )
+
+
+def test_parse_invariant_per_document(spark, corpus, documents_df):
+    """Per-row invariant (BASELINE.json input_hint): the Spark parse stage and
+    the reference-faithful parser agree on every item sequence per doc."""
+    rows = parse_items(documents_df).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["section_path"], r["item_idx"], r["depth"], r["item_text"])
+        )
+    for d in corpus:
+        want = []
+        for sect, items in parse_spans(d["spans"], d["lang"]).items():
+            for idx, it in enumerate(items):
+                for t in (it if isinstance(it, list) else [it]):
+                    want.append((sect, idx, 2 if isinstance(it, list) else 1, t))
+        assert sorted(got.get(d["doc_id"], [])) == sorted(want), d["doc_id"]
+
+
+def test_parallelism_invariance(spark, corpus, snapshots, documents_df):
+    got1 = _collect_triples(run_pipeline(spark, documents_df.repartition(1), snapshots))
+    got16 = _collect_triples(run_pipeline(spark, documents_df.repartition(16), snapshots))
+    assert got1 == got16
+
+
+def test_salted_link_join_same_result(spark, corpus, snapshots, documents_df):
+    plain = _collect_triples(run_pipeline(spark, documents_df, snapshots, salt=0))
+    salted = _collect_triples(run_pipeline(spark, documents_df, snapshots, salt=4))
+    assert plain == salted
+
+
+def test_skew_repartition_same_result(spark, corpus, snapshots, documents_df):
+    base = _collect_triples(run_pipeline(spark, documents_df, snapshots))
+    skewed = _collect_triples(
+        run_pipeline(spark, documents_df, snapshots, skew_repartition=True)
+    )
+    assert base == skewed
+
+
+def test_canonicalization_spark_matches_oracle(spark, snapshots):
+    from list_extractor_spark.core.canonical import build_edges, canonical_map
+    from list_extractor_spark.engine.canonicalize import canonical_map_df, identity_edges
+
+    # add a chain and a 2-cycle on top of the fixture edges
+    snaps = {
+        "redirects": snapshots["redirects"] + [("A", "B"), ("B", "C"), ("C", "D")],
+        "sameas": snapshots["sameas"],
+    }
+    mention_index, sameas, redirects = snapshots_to_dfs(spark, snaps | {"mention_index": []})
+    got = {
+        (r["uri"], r["canonical"])
+        for r in canonical_map_df(identity_edges(redirects, sameas)).collect()
+    }
+    want = set(canonical_map(build_edges(snaps["redirects"], snaps["sameas"])).items())
+    assert got == want
+
+
+def test_resume_reproduces_identical_triples(spark, corpus, snapshots, documents_df, tmp_path):
+    run_dir = str(tmp_path / "run")
+    first = _collect_triples(
+        run_pipeline(spark, documents_df, snapshots, run_dir=run_dir)
+    )
+    # simulate a kill after the extract stage committed: later stages vanish
+    shutil.rmtree(f"{run_dir}/linked", ignore_errors=True)
+    shutil.rmtree(f"{run_dir}/triples", ignore_errors=True)
+    # resume with EMPTY documents: only the candidates checkpoint can supply
+    # data, proving the resume path actually reuses the committed stage
+    empty_docs = spark.createDataFrame([], schema=DOCUMENTS_SCHEMA)
+    mention_index, sameas, redirects = snapshots_to_dfs(spark, snapshots)
+    pipe = Pipeline(spark, run_dir=run_dir)
+    resumed = _collect_triples(
+        pipe.run(empty_docs, mention_index, sameas, redirects, linkable_keys=set())
+    )
+    assert resumed == first
+    assert any(s["stage"] == "candidates" and s["reused"] for s in pipe.lineage)
