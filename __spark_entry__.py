@@ -1,38 +1,515 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry      — flagship: full KG pipeline over span-ified sf0.001 documents.
+queries    — one entry per implemented operator family (SURVEY.md §2 + the
+             training-data ops): KG pipeline stages (rows-only checks, the
+             span corpus is synthesized deterministically per input_hint),
+             relational operators, dedup/similarity/text-analysis/multimodal.
+oracle_sql — DuckDB-equivalent ANSI SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from list_extractor_spark.engine.pipeline import run_pipeline  # noqa: E402
+from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA  # noqa: E402
+from list_extractor_spark.fixtures import corpus_to_rows, make_corpus, make_snapshots  # noqa: E402
+from list_extractor_spark.sources.spanify import spanify_documents  # noqa: E402
+from list_extractor_spark.tda import dedup, multimodal, similarity, textstats  # noqa: E402
+
+_KG_DOCS = 96
+
+
+def _fixture_documents(spark: SparkSession) -> DataFrame:
+    docs = make_corpus(_KG_DOCS, hub_every=48, hub_items=120)
+    return spark.createDataFrame(corpus_to_rows(docs), schema=DOCUMENTS_SCHEMA)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG-construction pipeline over the sf0.001 documents table,
+    adapted to the span input contract, plus the fixture corpus."""
+    sf_dir = "/root/testdata/sf0.001"
+    spanified = spanify_documents(_load(spark, sf_dir, "documents"))
+    snapshots = make_snapshots()
+    return run_pipeline(spark, spanified, snapshots, canonicalize=True)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _kg_pipeline(spark, sf_dir):
+    return run_pipeline(spark, _fixture_documents(spark), make_snapshots())
+
+
+def _kg_candidates(spark, sf_dir):
+    from list_extractor_spark.engine.extract import extract_candidates
+
+    snaps = make_snapshots()
+    keys = {(lang, s) for (lang, s, w, r) in snaps["mention_index"]}
+    return extract_candidates(_fixture_documents(spark), linkable_keys=keys)
+
+
+def _kg_parse_items(spark, sf_dir):
+    from list_extractor_spark.engine.extract import parse_items
+
+    return parse_items(_fixture_documents(spark))
+
+
+def _kg_metrics(spark, sf_dir):
+    from list_extractor_spark.engine.extract import extract_metrics
+
+    snaps = make_snapshots()
+    keys = {(lang, s) for (lang, s, w, r) in snaps["mention_index"]}
+    return extract_metrics(_fixture_documents(spark), linkable_keys=keys)
+
+
+def _kg_canonical_map(spark, sf_dir):
+    from list_extractor_spark.engine.canonicalize import canonical_map_df, identity_edges
+    from list_extractor_spark.engine.pipeline import snapshots_to_dfs
+
+    _, sameas, redirects = snapshots_to_dfs(spark, make_snapshots())
+    return canonical_map_df(identity_edges(redirects, sameas))
+
+
+def _kg_spanified_triples(spark, sf_dir):
+    return run_pipeline(
+        spark, spanify_documents(_load(spark, sf_dir, "documents")), make_snapshots()
+    )
+
+
+# -- relational operator checklist (SURVEY.md §2.7) over the driver tables --
+
+
+def _q_group_agg(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def _q_broadcast_join(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def _q_anti_join(spark, sf_dir):
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _q_outer_coalesce(spark, sf_dir):
+    sup = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
+    return sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey, "left"
+    ).select(
+        "s_suppkey", F.coalesce("n_name", F.lit("(unknown)")).alias("nation_name")
+    )
+
+
+def _q_first_match(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def _q_window_running(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def _q_topk(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    sup = _load(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(5)
+    )
+
+
+def _q_regex_filter(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike(r"\bspark\b.*\bwindow\b"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _q_union_dedup(spark, sf_dir):
+    cust = _load(spark, sf_dir, "customer")
+    sup = _load(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(sup.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+# -- training-data ops ------------------------------------------------------
+
+
+def _dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_load(spark, sf_dir, "documents"))
+
+
+def _dedup_fingerprint(spark, sf_dir):
+    return textstats.fingerprints(_load(spark, sf_dir, "documents"))
+
+
+def _dedup_shingle_jaccard(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text"),
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr("transform(sequence(0, size(t)-3), i -> concat(t[i],' ',t[i+1],' ',t[i+2]))")
+        ).alias("shingles"),
+    )
+    posting = shingles.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("sh")
+    )
+    a = posting.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "sh")
+    b = posting.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        k=16,
+        bands=4,
+        threshold=0.2,
+    )
+
+
+def _dedup_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    )
+
+
+def _text_lang_id(spark, sf_dir):
+    return textstats.lang_id(_load(spark, sf_dir, "documents"))
+
+
+def _text_token_counts(spark, sf_dir):
+    return textstats.token_counts(_load(spark, sf_dir, "documents"))
+
+
+def _text_quality(spark, sf_dir):
+    return textstats.quality_scores(_load(spark, sf_dir, "documents"))
+
+
+def _query_vector(sf_dir):
+    import duckdb
+
+    (vec,) = duckdb.sql(
+        f"select embedding from '{sf_dir}/embeddings.parquet' where vec_id = 0"
+    ).fetchone()
+    return [float(x) for x in vec]
+
+
+def _sim_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return similarity.brute_force_topk(emb, _query_vector(sf_dir), k=10)
+
+
+def _sim_lsh_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    planes = similarity.make_planes(64, n_planes=6)
+    return similarity.lsh_topk(emb, _query_vector(sf_dir), planes, k=10)
+
+
+def _sim_near_dup(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs(
+        _load(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+def _media_stats(spark, sf_dir):
+    return multimodal.media_stats(
+        multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
+    )
+
+
+def _media_features(spark, sf_dir):
+    return multimodal.extract_media_features(
+        multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG pipeline (span corpus synthesized per input_hint; rows-only checks)
+        "kg_pipeline": _kg_pipeline,
+        "kg_candidates": _kg_candidates,
+        "kg_parse_items": _kg_parse_items,
+        "kg_metrics": _kg_metrics,
+        "kg_canonical_map": _kg_canonical_map,
+        "kg_spanified_triples": _kg_spanified_triples,
+        # relational operator checklist (SURVEY.md §2.7)
+        "q_group_agg": _q_group_agg,
+        "q_broadcast_join": _q_broadcast_join,
+        "q_anti_join": _q_anti_join,
+        "q_outer_coalesce": _q_outer_coalesce,
+        "q_first_match": _q_first_match,
+        "q_window_running": _q_window_running,
+        "q_topk": _q_topk,
+        "q_regex_filter": _q_regex_filter,
+        "q_union_dedup": _q_union_dedup,
+        # training-data ops
+        "dedup_exact": _dedup_exact,
+        "dedup_fingerprint": _dedup_fingerprint,
+        "dedup_shingle_jaccard": _dedup_shingle_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "text_lang_id": _text_lang_id,
+        "text_token_counts": _text_token_counts,
+        "text_quality": _text_quality,
+        "sim_topk": _sim_topk,
+        "sim_lsh_topk": _sim_lsh_topk,
+        "sim_near_dup": _sim_near_dup,
+        "media_stats": _media_stats,
+        "media_features": _media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_group_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_broadcast_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q_outer_coalesce": """
+            SELECT s_suppkey, coalesce(n_name, '(unknown)') AS nation_name
+            FROM supplier LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 10) n
+              ON s_nationkey = n_nationkey
+        """,
+        "q_first_match": """
+            SELECT o_custkey, o_orderkey, o_orderdate FROM (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "q_window_running": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 4) AS running_value
+            FROM events
+        """,
+        "q_topk": """
+            SELECT s_suppkey, s_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
+            ORDER BY revenue DESC, s_suppkey ASC
+            LIMIT 5
+        """,
+        "q_regex_filter": r"""
+            SELECT lang, count(*) AS n_docs FROM documents
+            WHERE regexp_matches(text, '\bspark\b.*\bwindow\b')
+            GROUP BY lang
+        """,
+        "q_union_dedup": """
+            SELECT DISTINCT nationkey FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL
+              SELECT s_nationkey AS nationkey FROM supplier
+            )
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "dedup_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "dedup_shingle_jaccard": r"""
+            WITH toks AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(t)-2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+              FROM toks
+            ), posting AS (
+              SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(count(*) / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+            FROM posting a JOIN posting b USING (sh)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING round(count(*) / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.2
+        """,
+        "text_lang_id": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '\b(the|and|of)\b')) AS n_en,
+                     len(regexp_extract_all(lower(text), '\b(der|und|die)\b')) AS n_de,
+                     len(regexp_extract_all(lower(text), '\b(el|los|que)\b')) AS n_es,
+                     len(regexp_extract_all(lower(text), '\b(il|che|di)\b')) AS n_it
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(n_en, n_de, n_es, n_it) = 0 THEN 'und'
+                        WHEN n_en = greatest(n_en, n_de, n_es, n_it) THEN 'en'
+                        WHEN n_de = greatest(n_en, n_de, n_es, n_it) THEN 'de'
+                        WHEN n_es = greatest(n_en, n_de, n_es, n_it) THEN 'es'
+                        ELSE 'it' END AS pred_lang
+            FROM c
+        """,
+        "text_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                   CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0)
+                        AS BIGINT) AS n_bpe_est
+            FROM documents
+        """,
+        "text_quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / length(text), 4) AS punct_ratio,
+                   round(len(regexp_extract_all(lower(text), '\b(the|and|of|a|to|in|is|it)\b'))
+                         / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio,
+                   round((length(text) - len(regexp_split_to_array(trim(text), '\s+')) + 1)
+                         / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len,
+                   round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                         / length(text), 4) AS upper_ratio
+            FROM documents
+        """,
+        "sim_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding, qv)
+                         / (sqrt(list_dot_product(embedding, embedding))
+                            * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+            FROM embeddings, q
+            WHERE vec_id != 0
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "sim_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding, b.embedding)
+                         / (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.label = b.label
+            WHERE a.vec_id < b.vec_id
+              AND list_dot_product(a.embedding, b.embedding)
+                  / (sqrt(list_dot_product(a.embedding, a.embedding))
+                     * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.5
+        """,
+        "media_stats": """
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   count(*) AS n_media,
+                   sum(octet_length(encode(text))) AS total_bytes,
+                   max(octet_length(encode(text))) AS max_bytes
+            FROM documents
+            GROUP BY 1
+        """,
+        # kg_* / dedup_minhash_lsh / dedup_simhash / sim_lsh_topk /
+        # media_features: non-SQL-expressible (pandas UDF or engine-hash
+        # dependent) -> rows-only checks
+    }

@@ -1,0 +1,84 @@
+"""Sinks: partitioned parquet graph table + Turtle parity writer (S6).
+
+The reference serializes one rdflib Turtle file per run
+(listExtractor.py:149-154).  The production sink here is a parquet graph table
+partitioned by predicate namespace; the Turtle writer exists for human parity
+inspection against the reference's golden files and normalizes date literals
+the way rdflib did (gYear "1992" -> "1992-01-01", golden William_Gibson.ttl:8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..core.extractors import DBO, XSD_GYEAR, XSD_GYEARMONTH
+
+_PREFIXES = {
+    "http://dbpedia.org/ontology/": "dbo",
+    "http://dbpedia.org/resource/": "dbr",
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#": "rdf",
+    "http://www.w3.org/2001/XMLSchema#": "xsd",
+}
+
+
+def write_graph(triples: DataFrame, path: str, partitions: int | None = None):
+    """Partitioned parquet graph write.  Partition column = predicate local
+    name bucket: keeps per-predicate scans pruned without tiny files."""
+    out = triples.withColumn(
+        "pred_bucket", F.pmod(F.abs(F.hash("pred")), F.lit(16))
+    )
+    if partitions:
+        out = out.repartition(partitions, "pred_bucket")
+    out.write.mode("overwrite").partitionBy("pred_bucket").parquet(path)
+
+
+def _qname(uri: str) -> str:
+    for ns, pre in _PREFIXES.items():
+        if uri.startswith(ns):
+            local = uri[len(ns):]
+            if local and all(c.isalnum() or c in "_-." for c in local):
+                return f"{pre}:{local}"
+    return f"<{uri}>"
+
+
+def _literal(obj: str, dt: str) -> str:
+    # rdflib normalization seen in the golden files
+    if dt == XSD_GYEAR:
+        obj = f"{obj.strip()}-01-01"
+    elif dt == XSD_GYEARMONTH:
+        y, _, m = obj.partition("-")
+        obj = f"{y}-{int(m):02d}-01" if m else obj
+    escaped = obj.replace("\\", "\\\\").replace('"', '\\"')
+    return f'"{escaped}"^^{_qname(dt)}'
+
+
+def to_turtle(rows) -> str:
+    """rows of (subj, pred, obj, obj_dt) -> Turtle text, grouped by subject,
+    deterministically ordered."""
+    lines = [
+        "@prefix dbo: <http://dbpedia.org/ontology/> .",
+        "@prefix dbr: <http://dbpedia.org/resource/> .",
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .",
+        "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .",
+        "",
+    ]
+    by_subj: dict[str, list] = {}
+    for s, p, o, dt in rows:
+        by_subj.setdefault(s, []).append((p, o, dt))
+    for s in sorted(by_subj):
+        body = []
+        for p, o, dt in sorted(by_subj[s]):
+            o_txt = _literal(o, dt) if dt else _qname(o)
+            body.append(f"    {_qname(p)} {o_txt}")
+        lines.append(f"{_qname(s)}\n" + " ;\n".join(body) + " .")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def write_turtle(triples: DataFrame, path: str):
+    rows = [
+        (r["subj"], r["pred"], r["obj"], r["obj_dt"])
+        for r in triples.select("subj", "pred", "obj", "obj_dt").collect()
+    ]
+    with open(path, "w") as f:
+        f.write(to_turtle(rows))

