@@ -215,25 +215,19 @@ def _dedup_shingle_jaccard(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("text"),
     )
-    toks = docs.select(
-        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
-    )
-    shingles = toks.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr("transform(sequence(0, size(t)-3), i -> concat(t[i],' ',t[i+1],' ',t[i+2]))")
-        ).alias("shingles"),
-    )
-    posting = shingles.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("sh")
-    )
-    a = posting.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "sh")
-    b = posting.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "sh")
+    # explode once; sizes by aggregation (see tda/dedup.py PERF notes on
+    # GenerateExec re-evaluation and lambda expression binding)
+    posting = docs.select("doc_id", F.explode(dedup._shingles("text")).alias("sh"))
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = posting.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "sh")
     return (
         a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
+        .join(F.broadcast(sizes.selectExpr("doc_id as doc_a", "n as n_a")), "doc_a")
+        .join(F.broadcast(sizes.selectExpr("doc_id as doc_b", "n as n_b")), "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),

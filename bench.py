@@ -1,0 +1,103 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline is the KG-construction pipeline over a deterministic synthetic
+span corpus (BENCH_DOCS docs, hub skew included): docs/sec and triples/sec are
+reported alongside.  Extra keys beyond the contract are informational.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from list_extractor_spark.engine.pipeline import run_pipeline  # noqa: E402
+from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA  # noqa: E402
+from list_extractor_spark.engine.session import get_spark  # noqa: E402
+from list_extractor_spark.fixtures import corpus_to_rows, make_corpus, make_snapshots  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+
+BENCH_QUERIES = [
+    "q_group_agg",
+    "q_topk",
+    "q_window_running",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_shingle_jaccard",
+    "text_quality",
+    "sim_topk",
+    "media_features",
+]
+
+
+def warmup(spark):
+    """Spawn the Python workers and JIT the join machinery on a toy corpus so
+    the timed section measures steady-state throughput, not process startup."""
+    docs = make_corpus(16, hub_every=0)
+    df = spark.createDataFrame(corpus_to_rows(docs), schema=DOCUMENTS_SCHEMA)
+    run_pipeline(spark, df.repartition(CPUS), make_snapshots()).count()
+
+
+def time_kg_pipeline(spark):
+    docs = make_corpus(BENCH_DOCS, hub_every=50, hub_items=400)
+    n_docs = len(docs)
+    df = spark.createDataFrame(corpus_to_rows(docs), schema=DOCUMENTS_SCHEMA).persist()
+    n_items = df.select(F.sum(F.size("spans"))).first()[0]  # force materialize input
+    snapshots = make_snapshots()
+    warmup(spark)
+    t0 = time.time()
+    triples = run_pipeline(spark, df, snapshots, canonicalize=True)
+    n_triples = triples.count()
+    dt = time.time() - t0
+    df.unpersist()
+    return {
+        "sec": round(dt, 3),
+        "n_docs": n_docs,
+        "n_spans": int(n_items),
+        "n_triples": n_triples,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "triples_per_sec": round(n_triples / dt, 1),
+    }
+
+
+def main():
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    queries = entry.queries()
+
+    kg = time_kg_pipeline(spark)
+    per_query = {"kg_pipeline": kg["sec"]}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "kg_pipeline+headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "kg": kg,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,8 +25,15 @@ def canonical_map_df(edges: DataFrame, max_iters: int = 12) -> DataFrame:
     exists.  Converged when no row changed.  Cycle guard: if max_iters rounds
     don't converge, remaining chains collapse to the min IRI seen (matches the
     pure oracle in core/canonical.py for acyclic and simple-cycle inputs).
+
+    The iteration partitioning follows the edge count, not the session's
+    shuffle width: identity-edge sets are orders smaller than the triple set,
+    and a 32-way shuffle of 40 rows costs more scheduler time than the join.
     """
-    cur = edges.select("uri", F.col("parent").alias("canonical"))
+    n_edges = edges.limit(1_000_000).count()
+    parts = max(1, min(int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                       n_edges // 50_000 + 1))
+    cur = edges.select("uri", F.col("parent").alias("canonical")).repartition(parts)
     for _ in range(max_iters):
         nxt = (
             cur.alias("a")

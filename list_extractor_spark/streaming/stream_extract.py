@@ -1,0 +1,69 @@
+"""Streaming KG construction.
+
+The reference is strictly batch (one serial run per class,
+listExtractor.py:104-146).  A production corpus arrives continuously, so the
+engine also exposes the extract stage as a Structured Streaming flow:
+
+    readStream(parquet span docs) -> mapInPandas extract (same core) ->
+    broadcast link join -> append sink
+
+The extract stage is stateless per document, so it streams unchanged — the
+same narrow mapInPandas plan, incrementally executed per micro-batch.  The
+dedup/canonicalize stages are batch post-passes over the sink (set semantics
+need global state); watermarked windowed aggregation is demonstrated on the
+events stream for the late-data pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine.extract import extract_candidates
+from ..engine.linking import resolve_links
+from ..engine.schemas import DOCUMENTS_SCHEMA
+
+
+def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of span documents (one parquet file per arrival)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def stream_triples(
+    docs_stream: DataFrame,
+    mention_index: DataFrame,
+    sameas: DataFrame,
+    linkable_keys,
+    output_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Continuous extraction: every micro-batch runs the narrow extract plan +
+    the broadcast link join; append-only parquet sink (exactly-once via the
+    streaming checkpoint)."""
+    candidates = extract_candidates(docs_stream, linkable_keys=linkable_keys)
+    triples = resolve_links(candidates, mention_index, sameas)
+    writer = (
+        triples.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(events_stream: DataFrame, watermark: str = "10 minutes"):
+    """Late-data pattern: watermarked 5-minute windows over the events stream
+    (SURVEY.md §2.7: the reference has no streaming; this is the engine's
+    native late-data aggregation)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )

@@ -33,13 +33,20 @@ def _tokens(col="text"):
 
 
 def _shingles(col="text", n=3):
-    """Distinct n-word shingles, JVM-side (transform over sequence indices).
-    Shingles keep posting lists short even on small-vocabulary corpora, so the
-    inverted-index/LSH joins stay near-linear."""
+    """Distinct n-word shingles, JVM-side.
+
+    PERF: the token split is bound ONCE per row by wrapping it in a
+    single-element array and transforming over it — Catalyst does no common-
+    subexpression elimination inside lambdas, so the naive form re-runs the
+    regex split for every shingle index (O(len^2) per document).
+    Shingles (vs unigrams) keep posting lists short even on small-vocabulary
+    corpora, so the inverted-index/LSH joins stay near-linear.
+    """
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(0, greatest(size(split(lower(trim({col})), '\\\\s+')) - {n}, 0)),"
-            f" i -> concat_ws(' ', slice(split(lower(trim({col})), '\\\\s+'), i + 1, {n})))"
+            f"transform(array(split(lower(trim({col})), '\\\\s+')), arr ->"
+            f" transform(sequence(0, greatest(size(arr) - {n}, 0)),"
+            f" i -> concat_ws(' ', slice(arr, i + 1, {n}))))[0]"
         )
     )
 
@@ -52,21 +59,21 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
     lists; stop-token filtering (df cap) keeps hub tokens from exploding the
     join at scale.
     """
-    toks = documents.select(
-        "doc_id", _tokens().alias("toks")
-    ).withColumn("n_toks", F.size("toks"))
-    posting = toks.select("doc_id", "n_toks", F.explode("toks").alias("tok"))
-    a = posting.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("n_a"), "tok"
-    )
-    b = posting.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("n_b"), "tok"
-    )
+    # PERF: never project size(expr) next to explode(expr) — GenerateExec
+    # re-evaluates non-generator child expressions per OUTPUT row, turning the
+    # shingle transform O(items) into O(items^2).  Explode once, recover set
+    # sizes with a cheap aggregation, broadcast them back.
+    posting = documents.select("doc_id", F.explode(_tokens()).alias("tok"))
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = posting.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "tok")
     pairs = (
         a.join(b, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
+        .join(F.broadcast(sizes.selectExpr("doc_id as doc_a", "n as n_a")), "doc_a")
+        .join(F.broadcast(sizes.selectExpr("doc_id as doc_b", "n as n_b")), "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
@@ -78,14 +85,22 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
 
 
 def minhash_signatures(documents: DataFrame, k: int = 16) -> DataFrame:
-    """K-permutation minhash over 3-shingle sets, JVM-side: one F.hash per
-    permutation via seed mixing, F.array_min over F.transform."""
-    toks = documents.select("doc_id", _shingles().alias("toks"))
-    sig_cols = [
-        F.array_min(F.transform("toks", lambda t: F.hash(t, F.lit(i)))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-    return toks.select("doc_id", *sig_cols)
+    """K-permutation minhash over 3-shingle sets, JVM-side, as ONE array
+    column (doc_id, sig: array<int>).
+
+    The whole signature is a single expression binding the shingle set once
+    (see _shingles PERF note): k separate columns would each inline the
+    shingle computation after projection collapse, multiplying the regex work
+    k-fold.  Permutations come from hash-seed mixing: hash(shingle, perm_id).
+    """
+    toks = documents.select("doc_id", _shingles().alias("__sh__"))
+    # bind the (inlined-after-collapse) shingle array once via array-wrap, so
+    # the k permutations share one evaluation
+    sig = F.expr(
+        f"transform(array(__sh__), sh -> transform(sequence(0, {k - 1}),"
+        f" perm -> array_min(transform(sh, t -> hash(t, perm)))))[0]"
+    )
+    return toks.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -95,9 +110,12 @@ def minhash_lsh_pairs(
     with exact Jaccard.  Scale path of ngram_jaccard_pairs: the self-join is
     on (band_id, band_hash) buckets, not on raw tokens."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(documents, k)
+    # materialize signatures once: they feed both sides of the self-join and
+    # projection collapse would otherwise inline the k-hash expression into
+    # every consumer (stage-boundary checkpoint in the real pipeline)
+    sigs = minhash_signatures(documents, k).localCheckpoint(eager=True)
     band_cols = [
-        F.hash(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+        F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
             f"band_{b}"
         )
         for b in range(bands)
@@ -117,7 +135,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify candidates with exact Jaccard (join shingle sets back in)
-    toks = documents.select("doc_id", _shingles().alias("toks"))
+    toks = documents.select("doc_id", _shingles().alias("toks")).localCheckpoint(
+        eager=True
+    )
     verified = (
         cand.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a")
         .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")

@@ -1,0 +1,75 @@
+"""Streaming extract: the stream (availableNow) must produce exactly the batch
+pipeline's pre-canonicalization triple multiset, and the watermarked window agg
+must run over the events stream."""
+
+import os
+
+import pytest
+
+from list_extractor_spark.engine.pipeline import run_pipeline, snapshots_to_dfs
+from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA
+from list_extractor_spark.fixtures import corpus_to_rows, make_corpus, make_snapshots
+from list_extractor_spark.streaming.stream_extract import (
+    stream_documents,
+    stream_triples,
+    windowed_event_counts,
+)
+
+
+@pytest.mark.timeout(300)
+def test_stream_matches_batch(spark, tmp_path):
+    docs = make_corpus(18, hub_every=0)
+    snaps = make_snapshots()
+    docs_df = spark.createDataFrame(corpus_to_rows(docs), schema=DOCUMENTS_SCHEMA)
+
+    in_dir = str(tmp_path / "in")
+    docs_df.repartition(3).write.parquet(in_dir)
+
+    mention_index, sameas, redirects = snapshots_to_dfs(spark, snaps)
+    keys = {(r["lang"], r["surface"]) for r in mention_index.select("lang", "surface").collect()}
+
+    out_dir = str(tmp_path / "out")
+    q = stream_triples(
+        stream_documents(spark, in_dir),
+        mention_index,
+        sameas,
+        keys,
+        out_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["obj_dt"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch reference: same pipeline without redirects/canonicalization
+    # (the streaming path covers extract+link; canonicalize is a batch post-pass)
+    batch = run_pipeline(
+        spark,
+        docs_df,
+        {**snaps, "redirects": []},
+        canonicalize=False,
+    )
+    want = {(r["subj"], r["pred"], r["obj"], r["obj_dt"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_windowed_event_counts_runs(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev")
+    events.write.parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from winagg").collect()
+    assert len(rows) > 0
+    total = sum(r["n_events"] for r in rows)
+    assert total == events.count()
