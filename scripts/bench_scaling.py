@@ -1,0 +1,100 @@
+"""Scaling-efficiency measurement (BASELINE.json north_rule: efficiency >= 0.8
+between N and 4N executors; sandbox proxy = local[8] vs local[32] on the same
+input).
+
+Runs bench.py in fresh subprocesses (one JVM per parallelism level), reports
+throughput at both levels and efficiency = (T_N / T_4N) / 4, and rewrites the
+results table in BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, n_docs: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_DOCS=str(n_docs),
+        SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
+    low, high = 8, 32
+    r_low = run_level(low, n_docs)
+    r_high = run_level(high, n_docs)
+    t_low, t_high = r_low["kg"]["sec"], r_high["kg"]["sec"]
+    eff = (t_low / t_high) / (high / low)
+    result = {
+        "n_docs": r_low["kg"]["n_docs"],
+        "n_triples": r_low["kg"]["n_triples"],
+        f"local[{low}]": r_low["kg"],
+        f"local[{high}]": r_high["kg"],
+        "speedup": round(t_low / t_high, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result, indent=1))
+    _update_baseline_md(result, low, high)
+
+
+def _update_baseline_md(res, low, high):
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE — measured throughput & scaling",
+        "",
+        "KG-construction pipeline (extract -> link -> canonicalize -> dedup) over the",
+        "deterministic synthetic span corpus (hub-skew included), same input at two",
+        "parallelism levels (sandbox proxy for N vs 4N executors per BASELINE.md §2).",
+        "",
+        f"- corpus: {res['n_docs']} docs -> {res['n_triples']} triples",
+        f"- local[{low}]:  {res[f'local[{low}]']['sec']} s  "
+        f"({res[f'local[{low}]']['docs_per_sec']} docs/s, "
+        f"{res[f'local[{low}]']['triples_per_sec']} triples/s)",
+        f"- local[{high}]: {res[f'local[{high}]']['sec']} s  "
+        f"({res[f'local[{high}]']['docs_per_sec']} docs/s, "
+        f"{res[f'local[{high}]']['triples_per_sec']} triples/s)",
+        f"- speedup {low}->{high} cores: {res['speedup']}x "
+        f"(ideal {high // low}x)",
+        f"- **scaling efficiency: {res['scaling_efficiency']}** "
+        "(target >= 0.8, BASELINE.json north_rule)",
+        "",
+        "Reference baseline: the reference publishes no throughput (serial Python 2 +",
+        "one JVM subprocess per page + >=1 HTTP call per linked element,",
+        "/root/reference/wikiParser.py:261-264, mapper.py:1547-1577).  A generous",
+        "upper bound for it is ~1-5 pages/sec single-node; this engine's single-node",
+        "extract stage alone runs the same semantics at hundreds of docs/sec and",
+        "scales out with executors.",
+        "",
+        "Raw JSON:",
+        "```json",
+        json.dumps(res, indent=1),
+        "```",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

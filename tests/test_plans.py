@@ -1,0 +1,72 @@
+"""Physical-plan shape assertions: the scale properties claimed in docstrings
+must be visible in the actual plans (no shuffle in the extract stage,
+broadcast joins in linking, pushdown into parquet scans)."""
+
+from pyspark.sql import functions as F
+
+from list_extractor_spark.engine.extract import extract_candidates
+from list_extractor_spark.engine.linking import resolve_links, resolve_redirects
+from list_extractor_spark.engine.pipeline import snapshots_to_dfs
+from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA
+from list_extractor_spark.fixtures import corpus_to_rows, make_corpus, make_snapshots
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_stage_is_narrow(spark):
+    docs = spark.createDataFrame(
+        corpus_to_rows(make_corpus(6, hub_every=0)), schema=DOCUMENTS_SCHEMA
+    )
+    plan = _plan(extract_candidates(docs, linkable_keys=set()))
+    assert "Exchange" not in plan, plan  # zero shuffle: scan -> mapInPandas
+
+
+def test_link_join_is_broadcast(spark):
+    snaps = make_snapshots()
+    mi, sa, rd = snapshots_to_dfs(spark, snaps)
+    docs = spark.createDataFrame(
+        corpus_to_rows(make_corpus(6, hub_every=0)), schema=DOCUMENTS_SCHEMA
+    )
+    keys = {(r["lang"], r["surface"]) for r in mi.select("lang", "surface").collect()}
+    cand = extract_candidates(resolve_redirects(docs, rd), linkable_keys=keys)
+    plan = _plan(resolve_links(cand, mi, sa))
+    assert "BroadcastHashJoin" in plan
+    # the big (probe) side must not be shuffled for the link joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_redirect_join_is_broadcast(spark):
+    snaps = make_snapshots()
+    _, _, rd = snapshots_to_dfs(spark, snaps)
+    docs = spark.createDataFrame(
+        corpus_to_rows(make_corpus(6, hub_every=0)), schema=DOCUMENTS_SCHEMA
+    )
+    plan = _plan(resolve_redirects(docs, rd))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_parquet_pushdown(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").write.parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+    # column pruning: the scan must read only the two referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_dedup_is_single_shuffle(spark):
+    docs = spark.createDataFrame(
+        corpus_to_rows(make_corpus(6, hub_every=0)), schema=DOCUMENTS_SCHEMA
+    )
+    cand = extract_candidates(docs, linkable_keys=set()).select(
+        "subj", "pred", "obj", "obj_dt"
+    )
+    plan = _plan(cand.dropDuplicates(["subj", "pred", "obj", "obj_dt"]))
+    assert plan.count("Exchange") == 1, plan
