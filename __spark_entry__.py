@@ -215,9 +215,8 @@ def _dedup_shingle_jaccard(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("text"),
     )
-    # explode once; sizes by aggregation (see tda/dedup.py PERF notes on
-    # GenerateExec re-evaluation and lambda expression binding)
-    posting = docs.select("doc_id", F.explode(dedup._shingles("text")).alias("sh"))
+    # codegen posting form; sizes by aggregation (see tda/dedup.py PERF notes)
+    posting = dedup.shingle_posting(docs)
     sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = posting.select(F.col("doc_id").alias("doc_a"), "sh")
     b = posting.select(F.col("doc_id").alias("doc_b"), "sh")

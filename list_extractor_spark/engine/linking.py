@@ -27,12 +27,12 @@ def resolve_links(
     salt: int = 0,
 ) -> DataFrame:
     """candidates (with link_lang/link_surface on deferred rows) -> triples
-    (doc_id, subj, pred, obj, obj_dt) with sentinels resolved."""
-    deferred = candidates.filter(F.col("link_surface").isNotNull())
-    direct = candidates.filter(F.col("link_surface").isNull()).select(
-        "doc_id", "subj", "pred", "obj", "obj_dt"
-    )
+    (doc_id, subj, pred, obj, obj_dt) with sentinels resolved.
 
+    ONE left join, no candidate split: rows without a link key have a null
+    link_surface, which matches nothing, so coalesce keeps their minted subj.
+    Splitting into linked/direct branches would make a lazy plan compute the
+    upstream extract stage twice (each branch re-reads it)."""
     # top-1 semantics of the reference's wbsearchentities result (mapper.py:1566):
     # the snapshot carries a rank column; keep rank-1 rows only.
     idx = mention_index.filter(F.col("rank") == 1).select(
@@ -50,7 +50,7 @@ def resolve_links(
                 idx.sparkSession.range(salt).select(F.col("id").cast("int").alias("mi_salt"))
             )
         )
-        deferred = deferred.withColumn(
+        probe = candidates.withColumn(
             "salt_k", F.pmod(F.abs(F.hash("doc_id", "pred", "obj")), F.lit(salt)).cast("int")
         )
         join_cond = (
@@ -58,29 +58,24 @@ def resolve_links(
             & (F.col("link_surface") == F.col("mi_surface"))
             & (F.col("salt_k") == F.col("mi_salt"))
         )
-        resolved = deferred.join(idx, join_cond, "left")
+        resolved = probe.join(idx, join_cond, "left")
     else:
-        resolved = deferred.join(
+        resolved = candidates.join(
             F.broadcast(idx),
             (F.col("link_lang") == F.col("mi_lang"))
             & (F.col("link_surface") == F.col("mi_surface")),
             "left",
         )
 
-    resolved = (
-        resolved.join(F.broadcast(sa), "wikidata_uri", "left")
-        .select(
-            "doc_id",
-            # sentinels only exist for keys present in the index, so wikidata_uri
-            # is non-null here; dbpedia wins when the sameAs snapshot has it
-            # (reference mapper.py:876-880).
-            F.coalesce("dbpedia_uri", "wikidata_uri", "subj").alias("subj"),
-            "pred",
-            "obj",
-            "obj_dt",
-        )
+    return resolved.join(F.broadcast(sa), "wikidata_uri", "left").select(
+        "doc_id",
+        # dbpedia wins when the sameAs snapshot has it (reference
+        # mapper.py:876-880), else the wikidata URI, else the minted subj
+        F.coalesce("dbpedia_uri", "wikidata_uri", "subj").alias("subj"),
+        "pred",
+        "obj",
+        "obj_dt",
     )
-    return direct.unionByName(resolved)
 
 
 def resolve_redirects(documents: DataFrame, redirects: DataFrame) -> DataFrame:

@@ -66,21 +66,24 @@ class Pipeline:
         return bool(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
 
     def _checkpoint(self, df: DataFrame, name: str) -> DataFrame:
-        """Materialize a stage boundary.  With a run_dir this is a durable
-        parquet commit (the resume point); without, a localCheckpoint."""
-        t0 = time.time()
+        """Materialize a stage boundary when a run_dir is set (durable parquet
+        commit = the resume point + lineage row counts).  Without a run_dir the
+        pipeline stays fully LAZY: Catalyst fuses extract+link+canonical-apply+
+        dedup into one pass over the documents (the downstream plan reads each
+        stage exactly once — resolve_links is a single left join, so no branch
+        recomputes the extract UDF), and no cached blocks linger in the block
+        manager afterwards."""
         p = self._stage_path(name)
         if p is None:
-            out = df.localCheckpoint(eager=True)
-            n = out.count()
-        else:
-            if not self._is_done(name):
-                df.write.mode("overwrite").parquet(p)
-            out = self.spark.read.parquet(p)
-            n = out.count()
+            return df
+        t0 = time.time()
+        if not self._is_done(name):
+            df.write.mode("overwrite").parquet(p)
+        out = self.spark.read.parquet(p)
+        n = out.count()
         self._lineage.append(
             {"stage": name, "rows": n, "sec": round(time.time() - t0, 3),
-             "reused": self._is_done(name) and p is not None}
+             "reused": self._is_done(name)}
         )
         return out
 

@@ -33,6 +33,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
+        # ICU collation-aware case mapping triggers a single-threaded ~5-45s
+        # static init of CollationAwareUTF8String on the FIRST lower()/upper()
+        # in the JVM (pathological under JIT pressure after codegen-heavy
+        # stages; measured via jstack).  The engine only needs binary-collation
+        # semantics, so use the JVM-native case mapping.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -40,4 +46,18 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _pretrigger_collation_init(spark)
     return spark
+
+
+def _pretrigger_collation_init(spark: SparkSession):
+    """Force CollationAwareUTF8String's static init NOW, while the JIT is
+    idle.  The first lower()/upper() in a JVM loads that class, whose static
+    initializer builds ICU case-mapping tables single-threaded; measured via
+    jstack at ~5 s on a fresh JVM but 30-45 s when it lands mid-workload after
+    codegen-heavy stages have saturated the JIT compiler.  Paying it eagerly
+    at session creation keeps every later query at steady-state speed."""
+    try:
+        spark.sql("select lower('Init'), upper('init')").collect()
+    except Exception:  # noqa: BLE001 - best-effort warm-up only
+        pass

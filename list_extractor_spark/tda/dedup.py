@@ -33,14 +33,17 @@ def _tokens(col="text"):
 
 
 def _shingles(col="text", n=3):
-    """Distinct n-word shingles, JVM-side.
+    """Distinct n-word shingles as an array column (higher-order-function
+    form; kept for small inputs).
 
     PERF: the token split is bound ONCE per row by wrapping it in a
     single-element array and transforming over it — Catalyst does no common-
     subexpression elimination inside lambdas, so the naive form re-runs the
     regex split for every shingle index (O(len^2) per document).
-    Shingles (vs unigrams) keep posting lists short even on small-vocabulary
-    corpora, so the inverted-index/LSH joins stay near-linear.
+
+    Hot paths use shingle_posting() instead: Spark evaluates higher-order
+    functions INTERPRETED (they are CodegenFallback), which is both slower
+    and fragile under JIT profile pollution in long sessions.
     """
     return F.array_distinct(
         F.expr(
@@ -48,6 +51,28 @@ def _shingles(col="text", n=3):
             f" transform(sequence(0, greatest(size(arr) - {n}, 0)),"
             f" i -> concat_ws(' ', slice(arr, i + 1, {n}))))[0]"
         )
+    )
+
+
+def shingle_posting(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh) rows: distinct n-word shingles via posexplode + window
+    lead — every operator whole-stage-codegen'd (no interpreted HOFs).
+
+    One shuffle (window by doc_id).  Shingles (vs unigrams) keep posting
+    lists short even on small-vocabulary corpora, so downstream joins stay
+    near-linear at scale."""
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        toks.select("doc_id", F.concat_ws(" ", *leads).alias("sh"),
+                    F.lead("tok", n - 1).over(w).alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "sh")
+        .distinct()
     )
 
 
@@ -85,48 +110,44 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
 
 
 def minhash_signatures(documents: DataFrame, k: int = 16) -> DataFrame:
-    """K-permutation minhash over 3-shingle sets, JVM-side, as ONE array
-    column (doc_id, sig: array<int>).
+    """K-permutation minhash over 3-shingle sets as k columns mh_0..mh_{k-1}.
 
-    The whole signature is a single expression binding the shingle set once
-    (see _shingles PERF note): k separate columns would each inline the
-    shingle computation after projection collapse, multiplying the regex work
-    k-fold.  Permutations come from hash-seed mixing: hash(shingle, perm_id).
-    """
-    toks = documents.select("doc_id", _shingles().alias("__sh__"))
-    # bind the (inlined-after-collapse) shingle array once via array-wrap, so
-    # the k permutations share one evaluation
-    sig = F.expr(
-        f"transform(array(__sh__), sh -> transform(sequence(0, {k - 1}),"
-        f" perm -> array_min(transform(sh, t -> hash(t, perm)))))[0]"
+    Formulated as groupBy(doc_id).agg(min(hash(sh, perm)) ...) over the
+    shingle posting — hash and min are whole-stage-codegen'd with map-side
+    partial aggregation, so the shuffle carries k ints per document.
+    Permutations come from hash-seed mixing: hash(shingle, perm_id)."""
+    posting = shingle_posting(documents)
+    return posting.groupBy("doc_id").agg(
+        *[F.min(F.hash("sh", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
     )
-    return toks.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
     documents: DataFrame, k: int = 16, bands: int = 4, threshold: float = 0.5
 ) -> DataFrame:
     """MinHash + LSH banding: candidates collide in >=1 band, then verified
-    with exact Jaccard.  Scale path of ngram_jaccard_pairs: the self-join is
-    on (band_id, band_hash) buckets, not on raw tokens."""
+    with exact Jaccard computed ONLY for candidate pairs.
+
+    Scale path of ngram_jaccard_pairs: the self-join is on (band_id,
+    band_hash) buckets, not raw tokens, and the verification join is driven
+    by the (small) candidate set, so no all-pairs work ever happens."""
     rows_per_band = k // bands
-    # materialize signatures once: they feed both sides of the self-join and
-    # projection collapse would otherwise inline the k-hash expression into
-    # every consumer (stage-boundary checkpoint in the real pipeline)
-    sigs = minhash_signatures(documents, k).localCheckpoint(eager=True)
-    band_cols = [
-        F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
-            f"band_{b}"
+    posting = shingle_posting(documents).localCheckpoint(eager=True)
+    sigs = posting.groupBy("doc_id").agg(
+        *[F.min(F.hash("sh", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
+    )
+    band_selects = [
+        sigs.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.hash(*[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]).alias("bh"),
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_id"), band_cols[b].alias("bh"))
-                      for b in range(bands)])
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.bh")
+    banded = band_selects[0]
+    for bs in band_selects[1:]:
+        banded = banded.unionByName(bs)
+    banded = banded.localCheckpoint(eager=True)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "bh"])
@@ -134,26 +155,23 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (join shingle sets back in)
-    toks = documents.select("doc_id", _shingles().alias("toks")).localCheckpoint(
-        eager=True
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(posting.selectExpr("doc_id as doc_a", "sh"), "doc_a")
+        .join(posting.selectExpr("doc_id as doc_b", "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
     )
-    verified = (
-        cand.join(toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")), "doc_a")
-        .join(toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")), "doc_b")
-        .withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
+    return (
+        common.join(F.broadcast(sizes.selectExpr("doc_id as doc_a", "n as n_a")), "doc_a")
+        .join(F.broadcast(sizes.selectExpr("doc_id as doc_b", "n as n_b")), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("common")
-                / (F.size("toks_a") + F.size("toks_b") - F.col("common")),
-                6,
-            ),
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return verified
 
 
 def simhash_fingerprints(documents: DataFrame, bits: int = 32) -> DataFrame:

@@ -1,128 +1,150 @@
 """Similarity search over an embedding column (array<float>).
 
-  brute-force cosine top-k   exact baseline: one narrow pass + global top-k
+  brute-force cosine top-k   exact baseline: explode + broadcast-join the
+                             query vector + one aggregation (all whole-stage
+                             codegen; TakeOrderedAndProject for the top-k)
   LSH-bucketed ANN           scale path: random-hyperplane signs bucket the
-                             vectors; search touches one bucket per probe
+                             vectors; a probe scores one bucket, not the corpus
+  blocked near-dup pairs     numpy matmul per block via applyInPandas (the
+                             Arrow-batched slow path done right)
 
-Cosine is computed JVM-side with F.zip_with/F.aggregate in double precision —
-no Python UDF in the hot path.
+Design rule (measured, see tda/dedup.py): higher-order functions
+(zip_with/aggregate) evaluate INTERPRETED in Spark — vector math either stays
+in codegen'd relational form (explode + groupBy) or goes through Arrow to
+numpy.  No row-at-a-time Python anywhere.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
-def _cosine(vec_col, query):
-    """cos(vec, query) as a JVM expression; query is a Python list (literal)."""
-    q = F.array(*[F.lit(float(x)) for x in query])
-    dot = F.aggregate(
-        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _exploded(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, dim_idx, val:double) — codegen-friendly long form."""
+    return embeddings.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim_idx", "val")
     )
-    n1 = F.sqrt(
-        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
-    )
-    n2 = float(sum(x * x for x in query)) ** 0.5
-    return dot / (n1 * F.lit(n2))
 
 
 def brute_force_topk(embeddings: DataFrame, query, k: int = 10) -> DataFrame:
-    """Exact top-k by cosine to ``query``.  orderBy+limit compiles to a
-    TakeOrderedAndProject — partial top-k per partition, no full sort."""
-    return (
-        embeddings.select(
-            "vec_id", F.round(_cosine(F.col("embedding"), query), 4).alias("cos_sim")
+    """Exact top-k by cosine to ``query``: explode -> broadcast equi-join on
+    dim index -> sum aggregation -> TakeOrderedAndProject (partial top-k per
+    partition, no global sort)."""
+    spark = embeddings.sparkSession
+    qnorm = float(sum(x * x for x in query)) ** 0.5
+    qdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(query)], schema="dim_idx int, qval double"
+    )
+    scored = (
+        _exploded(embeddings)
+        .join(F.broadcast(qdf), "dim_idx")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("val") * F.col("qval")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("norm2"),
         )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
+        .select(
+            "vec_id",
+            F.round(F.col("dot") / (F.sqrt("norm2") * F.lit(qnorm)), 4).alias("cos_sim"),
+        )
     )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
-def hyperplane_signatures(embeddings: DataFrame, planes) -> DataFrame:
-    """Random-hyperplane LSH: sign bit per plane -> integer bucket id.
-    ``planes`` is a seeded list of unit vectors (deterministic, no RNG at
-    execution time).  At scale the bucket id becomes the partition key, so a
-    probe reads one bucket instead of the full corpus."""
-    bucket = sum(
+def hyperplane_buckets(embeddings: DataFrame, planes) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: sign bit per plane packed into
+    an int.  planes are seeded constants (make_planes), shipped as a broadcast
+    (plane_id, dim_idx, pval) table — dot products run as one codegen'd join +
+    aggregation, no interpreted lambda math."""
+    spark = embeddings.sparkSession
+    pdf = spark.createDataFrame(
         [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        "embedding",
-                        F.array(*[F.lit(float(x)) for x in plane]),
-                        lambda a, b: a.cast("double") * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit(1 << i),
-            ).otherwise(F.lit(0))
-            for i, plane in enumerate(planes)
+            (p, i, float(v))
+            for p, plane in enumerate(planes)
+            for i, v in enumerate(plane)
         ],
-        F.lit(0),
+        schema="plane_id int, dim_idx int, pval double",
     )
-    return embeddings.select("vec_id", "embedding", bucket.alias("bucket"))
+    return (
+        _exploded(embeddings)
+        .join(F.broadcast(pdf), "dim_idx")
+        .groupBy("vec_id", "plane_id")
+        .agg(F.sum(F.col("val") * F.col("pval")).alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            # SQL form: the Python shiftleft() wrapper takes only int literals
+            F.sum(F.expr("if(dot > 0, shiftleft(1, plane_id), 0)")).alias("bucket")
+        )
+    )
 
 
 def lsh_topk(embeddings: DataFrame, query, planes, k: int = 10) -> DataFrame:
-    """ANN top-k: restrict the exact scoring to the query's LSH bucket."""
+    """ANN top-k: restrict exact scoring to the query's LSH bucket.  At scale
+    the embedding table is written bucketed/partitioned by ``bucket`` so the
+    probe is a partition-pruned scan."""
     q_bucket = 0
     for i, plane in enumerate(planes):
         if sum(a * b for a, b in zip(query, plane)) > 0:
             q_bucket |= 1 << i
-    sigs = hyperplane_signatures(embeddings, planes)
-    return (
-        sigs.filter(F.col("bucket") == q_bucket)
-        .select("vec_id", F.round(_cosine(F.col("embedding"), query), 4).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
+    buckets = hyperplane_buckets(embeddings, planes)
+    in_bucket = embeddings.join(
+        buckets.filter(F.col("bucket") == q_bucket).select("vec_id"), "vec_id", "left_semi"
     )
+    return brute_force_topk(in_bucket, query, k)
+
+
+_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType(), False),
+        T.StructField("id_b", T.LongType(), False),
+        T.StructField("cos_sim", T.DoubleType(), False),
+    ]
+)
 
 
 def cosine_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95, block_col: str = "label"
 ) -> DataFrame:
-    """Embedding near-duplicate pairs, blocked on ``block_col`` to keep the
-    self-join linear in block size (the unblocked variant is quadratic)."""
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), block_col
-    )
-    norm = e.withColumn(
-        "nrm", F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
-    )
-    a = norm.select(
-        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"), block_col,
-    )
-    b = norm.select(
-        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"), block_col,
-    )
-    return (
-        a.join(b, block_col)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                F.aggregate(
-                    F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                4,
-            ),
+    """Embedding near-duplicate pairs, blocked on ``block_col``: one numpy
+    matmul per block inside applyInPandas (Arrow batch in, Arrow batch out).
+    Blocking keeps the quadratic term inside blocks; at scale block =
+    LSH bucket (hyperplane_buckets) instead of a label column."""
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        order = ids.argsort()
+        ids = ids[order]
+        m = np.stack(pdf["embedding"].to_numpy()[order]).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": np.round(sims[ia[keep], ib[keep]], 4),
+            }
         )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+
+    return (
+        embeddings.select("vec_id", "embedding", block_col)
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, schema=_PAIRS_SCHEMA)
     )
 
 
 def make_planes(dim: int, n_planes: int = 8, seed: int = 42):
-    """Deterministic pseudo-random hyperplanes (LCG, no numpy RNG state)."""
+    """Deterministic pseudo-random hyperplanes (LCG, no RNG state at exec time)."""
     planes = []
     state = seed
     for _ in range(n_planes):
