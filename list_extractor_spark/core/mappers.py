@@ -695,7 +695,7 @@ MAPPER_FNS = {
 }
 
 
-def select_mapping(res_dict, res, lang, res_class, g, ctx=None):
+def select_mapping(res_dict, res, lang, res_class, g, ctx=None, mapped_domains=None):
     """Rule dispatcher (reference mapper.py:45-134).
 
     Per resource: pick domains from MAPPING[res_class]; per domain, match
@@ -715,7 +715,8 @@ def select_mapping(res_dict, res, lang, res_class, g, ctx=None):
         return 0
     db_res = ctx.dbr + res  # page IRI: raw concat, no quoting (mapper.py:79)
     res_elems = 0
-    mapped_domains = []
+    if mapped_domains is None:
+        mapped_domains = []
     for domain in MAPPING[res_class]:
         if domain in mapped_domains:
             continue
@@ -758,6 +759,10 @@ def select_mapping(res_dict, res, lang, res_class, g, ctx=None):
 def extract_document(doc_id, res_class, lang, spans, linker=NULL_LINKER):
     """End-to-end single-document extraction: span fold -> dispatch -> triples.
 
+    ``res_class`` is one class or a list of classes (the reference's single
+    mode runs select_mapping once per rdf:type with the domain-dedup list
+    SHARED across types — listExtractor.py:96-98, mapper.py:36,107).
+
     Returns (triples, stats) where triples is the set of
     (subj, pred, obj, obj_dt) and stats = (sections, items, extracted).
     This is the unit of work both the oracle and the Spark pandas UDF run.
@@ -767,6 +772,12 @@ def extract_document(doc_id, res_class, lang, spans, linker=NULL_LINKER):
     res_dict = parse_spans(spans, lang)
     g = GraphSet()
     ctx = MapContext(lang, linker)
-    extracted = select_mapping(res_dict, doc_id, lang, res_class, g, ctx)
+    classes = res_class if isinstance(res_class, (list, tuple)) else [res_class]
+    mapped_domains: list = []
+    extracted = 0
+    for klass in classes:
+        extracted += select_mapping(
+            res_dict, doc_id, lang, klass, g, ctx, mapped_domains=mapped_domains
+        )
     n_items = sum(len(v) for v in res_dict.values())
     return g.triples(), (len(res_dict), n_items, extracted)

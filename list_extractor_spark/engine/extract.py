@@ -60,6 +60,8 @@ def extract_candidates(
 
     if "res_target" not in documents.columns:
         documents = documents.withColumn("res_target", F.col("doc_id"))
+    if "res_classes" not in documents.columns:
+        documents = documents.withColumn("res_classes", F.array("res_class"))
 
     if skew_repartition:
         documents = documents.withColumn("n_spans", F.size("spans")).repartitionByRange(
@@ -79,8 +81,9 @@ def extract_candidates(
                 "link_surface": [],
             }
             for doc_id, lang, res_class, spans, res_target in zip(
-                pdf["doc_id"], pdf["lang"], pdf["res_class"], pdf["spans"], pdf["res_target"]
+                pdf["doc_id"], pdf["lang"], pdf["res_classes"], pdf["spans"], pdf["res_target"]
             ):
+                res_class = list(res_class)
                 triples, _stats = extract_document(
                     res_target, res_class, lang, _spans_from_cell(spans), linker
                 )
@@ -101,6 +104,85 @@ def extract_candidates(
 
     cols = [F.col(f.name) for f in CANDIDATES_SCHEMA.fields]
     return documents.mapInPandas(run, schema=CANDIDATES_SCHEMA).select(*cols)
+
+
+def extract_candidates_arrow(
+    documents: DataFrame,
+    linkable_keys=None,
+    skew_repartition: bool = False,
+) -> DataFrame:
+    """mapInArrow fast path of extract_candidates.
+
+    mapInPandas materializes every span as a Python dict (pyarrow nested
+    struct -> pandas object column) — measured as a large share of worker CPU.
+    Here the ListArray<Struct> column is flattened ONCE per batch into four
+    primitive child arrays, and per-document slices are zipped directly:
+    same semantics, same output, ~no per-span object churn.
+    """
+    import pyarrow as pa
+
+    sc = documents.sparkSession.sparkContext
+    b_linker = sc.broadcast(DeferredLinker(linkable_keys or set()))
+
+    if "res_target" not in documents.columns:
+        documents = documents.withColumn("res_target", F.col("doc_id"))
+    if "res_classes" not in documents.columns:
+        documents = documents.withColumn("res_classes", F.array("res_class"))
+    documents = documents.select("doc_id", "lang", "res_classes", "res_target", "spans")
+    if skew_repartition:
+        documents = documents.withColumn("n_spans", F.size("spans")).repartitionByRange(
+            "n_spans", "doc_id"
+        ).drop("n_spans")
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("obj_dt", pa.string()),
+            ("link_lang", pa.string()),
+            ("link_surface", pa.string()),
+        ]
+    )
+
+    def run(batches):
+        linker = b_linker.value
+        for batch in batches:
+            cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            doc_ids = cols["doc_id"].to_pylist()
+            langs = cols["lang"].to_pylist()
+            classes = cols["res_classes"].to_pylist()
+            targets = cols["res_target"].to_pylist()
+            spans_col = cols["spans"]
+            off = spans_col.offsets.to_pylist()
+            child = spans_col.values
+            kinds = child.field(0).to_pylist()
+            texts = child.field(1).to_pylist()
+            medias = child.field(2).to_pylist()
+            offs = child.field(3).to_pylist()
+            out = {k: [] for k in out_schema.names}
+            for r in range(batch.num_rows):
+                s, e = off[r], off[r + 1]
+                spans = list(zip(kinds[s:e], texts[s:e], medias[s:e], offs[s:e]))
+                triples, _ = extract_document(
+                    targets[r], list(classes[r]), langs[r], spans, linker
+                )
+                for subj, pred, obj, dt in triples:
+                    ll, ls = None, None
+                    hit = split_sentinel(subj)
+                    if hit is not None:
+                        ll, ls = hit
+                    out["doc_id"].append(doc_ids[r])
+                    out["subj"].append(subj)
+                    out["pred"].append(pred)
+                    out["obj"].append(obj)
+                    out["obj_dt"].append(dt)
+                    out["link_lang"].append(ll)
+                    out["link_surface"].append(ls)
+            yield pa.RecordBatch.from_pydict(out, schema=out_schema)
+
+    return documents.mapInArrow(run, schema=CANDIDATES_SCHEMA)
 
 
 def parse_items(documents: DataFrame) -> DataFrame:

@@ -78,6 +78,25 @@ def resolve_links(
     )
 
 
+def attach_page_types(documents: DataFrame, page_types: DataFrame) -> DataFrame:
+    """S3/S4: rdf:type lookup as a broadcast-hash join against the page_types
+    snapshot (replaces the reference's per-resource SPARQL,
+    utilities.py:282-302).  A page with several types gets all of them, in
+    sorted order — the reference runs the mappers once per type with the
+    domain-dedup list shared across types, and collect_list order is
+    nondeterministic, so sorting makes the dispatch deterministic."""
+    types = page_types.groupBy("resource").agg(
+        F.sort_array(F.collect_list("rdf_type")).alias("type_list")
+    )
+    return (
+        documents.join(
+            F.broadcast(types), documents["doc_id"] == types["resource"], "left"
+        )
+        .withColumn("res_classes", F.coalesce("type_list", F.array("res_class")))
+        .drop("resource", "type_list")
+    )
+
+
 def resolve_redirects(documents: DataFrame, redirects: DataFrame) -> DataFrame:
     """S2: left-outer join + coalesce replaces the reference's re-fetch under
     the redirect target (wikiParser.py:298-334, caller :51-53).  The resolved

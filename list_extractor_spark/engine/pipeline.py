@@ -25,10 +25,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .canonicalize import apply_canonical_df, canonical_map_df, identity_edges
-from .extract import extract_candidates
-from .linking import resolve_links, resolve_redirects
+from .extract import extract_candidates_arrow
+from .linking import attach_page_types, resolve_links, resolve_redirects
 from .schemas import (
     MENTION_INDEX_SCHEMA,
+    PAGE_TYPES_SCHEMA,
     REDIRECTS_SCHEMA,
     SAMEAS_SCHEMA,
 )
@@ -41,6 +42,13 @@ def snapshots_to_dfs(spark: SparkSession, snapshots: dict):
     sameas = spark.createDataFrame(snapshots.get("sameas", []), schema=SAMEAS_SCHEMA)
     redirects = spark.createDataFrame(snapshots.get("redirects", []), schema=REDIRECTS_SCHEMA)
     return mention_index, sameas, redirects
+
+
+def page_types_df(spark: SparkSession, snapshots: dict):
+    rows = snapshots.get("page_types")
+    if not rows:
+        return None
+    return spark.createDataFrame(rows, schema=PAGE_TYPES_SCHEMA)
 
 
 class Pipeline:
@@ -96,6 +104,7 @@ class Pipeline:
         redirects: DataFrame,
         linkable_keys=None,
         canonicalize: bool = True,
+        page_types: DataFrame | None = None,
     ) -> DataFrame:
         if linkable_keys is None:
             linkable_keys = {
@@ -109,8 +118,10 @@ class Pipeline:
                                   "sec": 0.0, "reused": True})
         else:
             docs = resolve_redirects(documents, redirects)
+            if page_types is not None:
+                docs = attach_page_types(docs, page_types)
             candidates = self._checkpoint(
-                extract_candidates(
+                extract_candidates_arrow(
                     docs, linkable_keys=linkable_keys,
                     skew_repartition=self.skew_repartition,
                 ),
@@ -156,10 +167,16 @@ def run_pipeline(
     canonicalize: bool = True,
     salt: int = 0,
     skew_repartition: bool = False,
+    use_page_types: bool = False,
 ) -> DataFrame:
     """Convenience wrapper: snapshots dict -> DataFrames -> Pipeline.run."""
     mention_index, sameas, redirects = snapshots_to_dfs(spark, snapshots)
     pipe = Pipeline(spark, run_dir=run_dir, salt=salt, skew_repartition=skew_repartition)
     return pipe.run(
-        documents, mention_index, sameas, redirects, canonicalize=canonicalize
+        documents,
+        mention_index,
+        sameas,
+        redirects,
+        canonicalize=canonicalize,
+        page_types=page_types_df(spark, snapshots) if use_page_types else None,
     )

@@ -73,6 +73,13 @@ SAMEAS_SCHEMA = T.StructType(
     ]
 )
 
+PAGE_TYPES_SCHEMA = T.StructType(
+    [
+        T.StructField("resource", T.StringType(), False),
+        T.StructField("rdf_type", T.StringType(), False),
+    ]
+)
+
 REDIRECTS_SCHEMA = T.StructType(
     [
         T.StructField("src", T.StringType(), False),

@@ -91,6 +91,8 @@ def _writer_doc(i, rng, mentions):
     d.item(f"\"{_title(rng)} Medal\" for {_person(rng)}")
     d.section("Family")
     d.item(f"{_person(rng)}, spouse")
+    d.section("Career")  # only reachable via the extra Person rdf:type
+    d.item(f"Columnist at the {_title(rng)} Gazette (1970–1975)")
     d.section("References")  # excluded verbatim
     d.item("some citation")
     return d
@@ -331,6 +333,18 @@ def make_snapshots(seed: int = 42):
         "sameas": sameas,
         "redirects": redirects,
     }
+
+
+def make_page_types(docs):
+    """page_types snapshot (resource, rdf_type) for a corpus: every doc gets
+    its template class; Writer docs additionally get Person (multi-type
+    dispatch — shared domain dedup across types, reference mapper.py:36,107)."""
+    rows = []
+    for d in docs:
+        rows.append((d["doc_id"], d["res_class"]))
+        if d["res_class"] == "Writer" and d["doc_id"].startswith("Writer_"):
+            rows.append((d["doc_id"], "Person"))
+    return rows
 
 
 def corpus_to_rows(docs):

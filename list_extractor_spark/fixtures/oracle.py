@@ -19,13 +19,20 @@ def snapshot_linker(snapshots: dict) -> Linker:
     return Linker(mi, sa)
 
 
-def oracle_triples(docs, snapshots, canonicalize: bool = True):
+def oracle_triples(docs, snapshots, canonicalize: bool = True, page_types=None):
     linker = snapshot_linker(snapshots)
     redirect_map = dict(snapshots.get("redirects", []))
+    types_map: dict = {}
+    if page_types:
+        for resource, rdf_type in page_types:
+            types_map.setdefault(resource, []).append(rdf_type)
+        for v in types_map.values():
+            v.sort()  # matches the engine's sort_array(collect_list(...))
     all_triples = set()
     for d in docs:
         res_target = redirect_map.get(d["doc_id"], d["doc_id"])
-        triples, _ = extract_document(res_target, d["res_class"], d["lang"], d["spans"], linker)
+        classes = types_map.get(d["doc_id"], [d["res_class"]]) if page_types else d["res_class"]
+        triples, _ = extract_document(res_target, classes, d["lang"], d["spans"], linker)
         all_triples |= triples
     if canonicalize:
         cmap = canonical_map(build_edges(snapshots.get("redirects", []), snapshots["sameas"]))

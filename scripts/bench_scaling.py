@@ -40,7 +40,12 @@ def run_level(cpus: int, n_docs: int) -> dict:
 
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
-    low, high = 8, 32
+    # 4 vs 16 by default: a python-UDF task occupies a JVM task thread AND a
+    # python worker (2 threads of CPU per task), so local[32] on a 32-core
+    # host oversubscribes 2x and under-measures the engine's scaling.  On a
+    # real cluster executor sizing accounts for python workers explicitly.
+    low = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "4"))
+    high = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "16"))
     r_low = run_level(low, n_docs)
     r_high = run_level(high, n_docs)
     t_low, t_high = r_low["kg"]["sec"], r_high["kg"]["sec"]

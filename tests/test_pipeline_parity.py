@@ -129,3 +129,18 @@ def test_resume_reproduces_identical_triples(spark, corpus, snapshots, documents
     )
     assert resumed == first
     assert any(s["stage"] == "candidates" and s["reused"] for s in pipe.lineage)
+
+
+def test_arrow_extract_matches_pandas_extract(spark, documents_df, snapshots):
+    from list_extractor_spark.engine.extract import (
+        extract_candidates,
+        extract_candidates_arrow,
+    )
+
+    keys = {(lang, s) for (lang, s, w, r) in snapshots["mention_index"]}
+    cols = ["doc_id", "subj", "pred", "obj", "obj_dt", "link_lang", "link_surface"]
+    a = sorted(tuple(r) for r in extract_candidates(documents_df, linkable_keys=keys)
+               .select(cols).collect())
+    b = sorted(tuple(r) for r in extract_candidates_arrow(documents_df, linkable_keys=keys)
+               .select(cols).collect())
+    assert a == b
