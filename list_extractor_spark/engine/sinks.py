@@ -42,12 +42,17 @@ def _qname(uri: str) -> str:
 
 
 def _literal(obj: str, dt: str) -> str:
-    # rdflib normalization seen in the golden files
-    if dt == XSD_GYEAR:
-        obj = f"{obj.strip()}-01-01"
-    elif dt == XSD_GYEARMONTH:
-        y, _, m = obj.partition("-")
-        obj = f"{y}-{int(m):02d}-01" if m else obj
+    # rdflib normalization seen in the golden files; ill-typed lexicals (the
+    # reference's period parser emits e.g. "2002-(3") stay verbatim, exactly
+    # as rdflib keeps ill-typed Literals
+    try:
+        if dt == XSD_GYEAR:
+            obj = f"{int(obj.strip()):04d}-01-01"
+        elif dt == XSD_GYEARMONTH:
+            y, _, m = obj.partition("-")
+            obj = f"{int(y):04d}-{int(m):02d}-01" if m else obj
+    except ValueError:
+        pass
     escaped = obj.replace("\\", "\\\\").replace('"', '\\"')
     return f'"{escaped}"^^{_qname(dt)}'
 
