@@ -1,0 +1,75 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The engine-native incremental path for corpus maintenance: as new document
+batches stream in, drop documents whose content hash was already seen in ANY
+earlier micro-batch (streaming exact dedup — the stateful complement of
+tda/dedup.exact_dedup), with per-key state kept by Spark's state store.
+
+State key = text_hash; value = (first_doc_id, n_seen).  Output = one row per
+incoming doc with a kept/duplicate verdict, so downstream triple extraction
+only processes kept docs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("text_hash", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kept", T.BooleanType(), False),
+        T.StructField("first_doc_id", T.StringType(), False),
+        T.StructField("n_seen", T.LongType(), False),
+    ]
+)
+
+_STATE_SCHEMA = "first_doc_id string, n_seen long"
+
+
+def _dedup_fn(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (text_hash,) = key
+    if state.exists:
+        first_doc_id, n_seen = state.get
+    else:
+        first_doc_id, n_seen = None, 0
+    out = {k.name: [] for k in DEDUP_OUTPUT_SCHEMA.fields}
+    for pdf in pdfs:
+        for doc_id in sorted(pdf["doc_id"]):
+            n_seen += 1
+            kept = first_doc_id is None
+            if kept:
+                first_doc_id = doc_id
+            out["text_hash"].append(text_hash)
+            out["doc_id"].append(doc_id)
+            out["kept"].append(kept)
+            out["first_doc_id"].append(first_doc_id)
+            out["n_seen"].append(n_seen)
+    state.update((first_doc_id, n_seen))
+    yield pd.DataFrame(out)
+
+
+def streaming_exact_dedup(docs_stream: DataFrame) -> DataFrame:
+    """documents stream -> per-doc kept/duplicate verdicts with cross-batch
+    state.  Hash computed JVM-side; state partitioned by hash, so duplicate
+    storms of one viral document hit one state partition — at scale pair this
+    with the same salting strategy as the link join."""
+    hashed = docs_stream.select(
+        F.md5(F.concat_ws("\x00", F.transform("spans", lambda s: s["text"]))).alias(
+            "text_hash"
+        ),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

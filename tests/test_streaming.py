@@ -73,3 +73,39 @@ def test_windowed_event_counts_runs(spark, tmp_path):
     assert len(rows) > 0
     total = sum(r["n_events"] for r in rows)
     assert total == events.count()
+
+
+@pytest.mark.timeout(300)
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """applyInPandasWithState: duplicates across micro-batches must be flagged
+    against state from earlier batches."""
+    from list_extractor_spark.streaming.stateful import streaming_exact_dedup
+
+    docs = make_corpus(8, hub_every=0)
+    rows = corpus_to_rows(docs)
+    dup = [(f"copy_of_{rows[0][0]}", rows[0][1], rows[0][2], rows[0][3])]
+    in_dir = str(tmp_path / "sdocs")
+    df_schema = DOCUMENTS_SCHEMA
+    # batch 1 = originals, batch 2 = one exact copy (separate files => separate
+    # micro-batches with maxFilesPerTrigger=1)
+    spark.createDataFrame(rows, schema=df_schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(dup, schema=df_schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(df_schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    out = {r["doc_id"]: r for r in spark.sql("select * from sdedup").collect()}
+    assert len(out) == len(rows) + 1
+    copy = out[f"copy_of_{rows[0][0]}"]
+    assert copy["kept"] is False and copy["n_seen"] >= 2
+    assert sum(1 for r in out.values() if r["kept"]) == len(rows)
