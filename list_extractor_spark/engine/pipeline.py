@@ -141,8 +141,11 @@ class Pipeline:
             cmap = canonical_map_df(identity_edges(redirects, sameas))
             linked = apply_canonical_df(linked, cmap)
 
-        triples = linked.dropDuplicates(["subj", "pred", "obj", "obj_dt"]).select(
-            "subj", "pred", "obj", "obj_dt"
+        # project BEFORE the dedup shuffle: doc_id must not ride through the
+        # exchange (the only wide stage in the pipeline)
+        triples = (
+            linked.select("subj", "pred", "obj", "obj_dt")
+            .dropDuplicates(["subj", "pred", "obj", "obj_dt"])
         )
         triples = self._checkpoint(triples, "triples")
         self._write_lineage()
