@@ -16,6 +16,19 @@ reference semantics:
 from __future__ import annotations
 
 import re
+
+# Compiled-pattern cache for data-driven patterns (rule-table keywords etc.).
+# The stdlib re cache keys on (pattern, flags) per call — measurable overhead
+# at millions of calls — and can evict under pressure; this cache cannot.
+_RE_I: dict = {}
+
+
+def search_i(pattern: str, s: str):
+    """re.search(pattern, s, re.IGNORECASE) with a persistent compiled cache."""
+    c = _RE_I.get(pattern)
+    if c is None:
+        c = _RE_I[pattern] = re.compile(pattern, re.IGNORECASE)
+    return c.search(s)
 from urllib.parse import quote as _urlquote
 
 from ..rules import (
@@ -70,9 +83,19 @@ def list_elem_clean(list_elem: str) -> str:
     return list_elem
 
 
+_ITALIC_RE = re.compile(r"\'{2,}(.*?)\'{2,}")
+_REF_RE = re.compile(r"\{\{.*?\}\}")
+_QUOTE_RE = re.compile(r"\"(.*?)\"")
+_FOURDIGIT_RE = re.compile(r"[0-9]{4}")
+_GENERAL_RE = re.compile(r"[^0-9][^,|:|：|–|(*|\[*|《*]+", re.IGNORECASE)
+_ISBN_RE = re.compile(r"ISBN ([0-9]|-)*X?")
+_BRACKET_RE = re.compile(r"\(.*\)", re.IGNORECASE)
+_PROFESSION_RE = re.compile(r"(?:–|-)[^-|,]+$")
+
+
 def italic_mapper(list_elem: str):
     """First ``''...''`` run, cleaned (reference mapper.py:1642-1658)."""
-    m = re.search(r"\'{2,}(.*?)\'{2,}", list_elem)
+    m = _ITALIC_RE.search(list_elem)
     if m:
         return list_elem_clean(m.group(0))
     return None
@@ -83,10 +106,10 @@ def reference_mapper(list_elem: str):
     entirely (reference mapper.py:1661-1678: the retry is handed the bare
     digit string, which can never contain a reference, so the result is None).
     """
-    m = re.search(r"\{\{.*?\}\}", list_elem)
+    m = _REF_RE.search(list_elem)
     if m:
         match_ref = m.group()
-        if re.search(r"[0-9]{4}", match_ref):
+        if _FOURDIGIT_RE.search(match_ref):
             return None
         return match_ref
     return None
@@ -97,10 +120,10 @@ def quote_mapper(list_elem: str):
     matches dropped — same dead retry as reference_mapper
     (reference mapper.py:1710-1727).
     """
-    m = re.search(r"\"(.*?)\"", list_elem)
+    m = _QUOTE_RE.search(list_elem)
     if m:
         match_ref = m.group(0)
-        if re.search(r"[0-9]{4}", match_ref):
+        if _FOURDIGIT_RE.search(match_ref):
             return None
         return match_ref
     return None
@@ -110,7 +133,7 @@ def general_mapper(list_elem: str):
     """Fallback: leading non-digit then a run free of listed punctuation, with
     the reference's exact strip ladder (reference mapper.py:1681-1707)."""
     list_elem = list_elem_clean(list_elem)
-    m = re.search(r"[^0-9][^,|:|：|–|(*|\[*|《*]+", list_elem, re.IGNORECASE)
+    m = _GENERAL_RE.search(list_elem)
     if m is None:
         return None
     match_str = list_elem_clean(m.group())
@@ -127,7 +150,7 @@ def general_mapper(list_elem: str):
 
 def isbn_mapper(list_elem: str):
     """``ISBN ([0-9]|-)*X?`` with the prefix removed (reference mapper.py:1254-1273)."""
-    m = re.search(r"ISBN ([0-9]|-)*X?", list_elem)
+    m = _ISBN_RE.search(list_elem)
     if m is None:
         return None
     return m.group().replace("ISBN ", "")
@@ -135,7 +158,7 @@ def isbn_mapper(list_elem: str):
 
 def year_mapper(list_elem: str):
     """All 4-digit runs, or None (reference mapper.py:1275-1285)."""
-    found = re.findall(r"[0-9]{4}", list_elem)
+    found = _FOURDIGIT_RE.findall(list_elem)
     return found or None
 
 
@@ -172,6 +195,15 @@ _MONTH_LIST = {
 # Time-period detector (reference mapper.py:1317).
 _PERIOD_REGEX = r"(?:\(?\d{1,2}\^)?\s?\d{4}\s?(?:–|-)\s?(?:\d{1,2}\^)?\s?\d{4}(?:\))?"
 
+_MONTH_COMPILED = [(re.compile(p, re.IGNORECASE), code) for p, code in _MONTH_LIST.items()]
+# every month pattern requires a month-name prefix AND \d{4}; this prescan is
+# a pure fast path (no semantic effect) that skips the 26-pattern loop
+_MONTH_PRESCAN = re.compile(
+    r"jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec", re.IGNORECASE
+)
+_PERIOD_RE = re.compile(_PERIOD_REGEX, re.IGNORECASE)
+_MONTHCODE_RE = re.compile(r"[0-9]{1,2}\^\s?[0-9]{4}")
+
 
 def month_year_mapper(list_elem: str):
     """Date normalizer (reference mapper.py:1287-1374).
@@ -180,17 +212,24 @@ def month_year_mapper(list_elem: str):
     [start, end] period pairs, or None.  Month names are first substituted
     with "M^" codes; "^" is the reference's internal month separator.
     """
+    # fast path: no 4-digit run anywhere -> no month codes, no periods, and
+    # year_mapper returns None (all month patterns and the period regex
+    # require \d{4}) — identical result without the pattern loop
+    if not _FOURDIGIT_RE.search(list_elem):
+        return None
+
     month_present = False
     period_dates = False
 
-    for mon, code in _MONTH_LIST.items():
-        m = re.search(mon, list_elem, re.IGNORECASE)
-        if m:
-            rep = m.group(1)
-            list_elem = re.sub(rep, code, list_elem, flags=re.I)
-            month_present = True
+    if _MONTH_PRESCAN.search(list_elem):
+        for mon_re, code in _MONTH_COMPILED:
+            m = mon_re.search(list_elem)
+            if m:
+                rep = m.group(1)
+                list_elem = re.sub(rep, code, list_elem, flags=re.I)
+                month_present = True
 
-    if re.search(_PERIOD_REGEX, list_elem, flags=re.IGNORECASE):
+    if _PERIOD_RE.search(list_elem):
         period_dates = True
 
     if not month_present and not period_dates:
@@ -199,7 +238,7 @@ def month_year_mapper(list_elem: str):
     years = []
 
     if not month_present and period_dates:
-        match_num = re.findall(_PERIOD_REGEX, list_elem, flags=re.IGNORECASE)
+        match_num = _PERIOD_RE.findall(list_elem)
         if len(match_num) == 0:
             return year_mapper(list_elem)
         for y in match_num:
@@ -213,7 +252,7 @@ def month_year_mapper(list_elem: str):
         return years
 
     if month_present and not period_dates:
-        match_num = re.findall(r"[0-9]{1,2}\^\s?[0-9]{4}", list_elem)
+        match_num = _MONTHCODE_RE.findall(list_elem)
         for x in match_num:
             list_elem = list_elem.replace(x, "")
             x = x.replace(" ", "")
@@ -248,9 +287,9 @@ def litgenre_mapper(sect_name: str, lang: str):
     suppressed (reference mapper.py:1376-1397)."""
     b_genres = BIBLIO_GENRE[lang]
     for bg in b_genres.keys():
-        if re.search(bg, sect_name, re.IGNORECASE):
+        if search_i(bg, sect_name):
             for other_bg in b_genres.keys():
-                if other_bg != bg and re.search(other_bg, sect_name, re.IGNORECASE):
+                if other_bg != bg and search_i(other_bg, sect_name):
                     return None
             return b_genres[bg]
     return None
@@ -261,7 +300,7 @@ def filmpart_mapper(sect_name: str, lang: str) -> str:
     (reference mapper.py:1399-1413)."""
     film_particip = "starring"
     for fp, val in FILMOGRAPHY_PARTICIPATION[lang].items():
-        if re.search(fp, sect_name, re.IGNORECASE):
+        if search_i(fp, sect_name):
             film_particip = val
     return film_particip
 
@@ -271,7 +310,7 @@ def filmtype_mapper(sect_name: str, lang: str) -> str:
     (reference mapper.py:1415-1430)."""
     filmtype = "Film"
     for ft, val in FILMOGRAPHY_TYPE[lang].items():
-        if re.search(ft, sect_name, re.IGNORECASE):
+        if search_i(ft, sect_name):
             filmtype = val
     return filmtype
 
@@ -280,14 +319,14 @@ def award_status_mapper(sect_name: str, lang: str):
     """Award status or None, last match wins (reference mapper.py:1432-1446)."""
     status = None
     for st, val in AWARD_STATUS_TYPE[lang].items():
-        if re.search(st, sect_name, re.IGNORECASE):
+        if search_i(st, sect_name):
             status = val
     return status
 
 
 def bracket_feature_mapper(elem: str):
     """Content of the first (...) group (reference mapper.py:1497-1509)."""
-    m = re.search(r"\(.*\)", elem, re.IGNORECASE)
+    m = _BRACKET_RE.search(elem)
     if m:
         return m.group().replace("(", "").replace(")", "").strip()
     return None
@@ -299,7 +338,7 @@ def alumni_profession_mapper(list_elem: str):
     Raises IndexError on an empty tail exactly like the reference
     (``profession[0]`` on ''); the dispatcher swallows it per-section.
     """
-    m = re.search(r"(?:–|-)[^-|,]+$", list_elem)
+    m = _PROFESSION_RE.search(list_elem)
     if m is None:
         return None
     profession = m.group()

@@ -44,6 +44,7 @@ from ..rules import (
 )
 from .extractors import (
     DBO,
+    search_i,
     RDF_TYPE,
     XSD_GYEAR,
     XSD_GYEARMONTH,
@@ -543,14 +544,14 @@ def map_contributors(elem_list, sect_name, res, lang, g, elems, ctx):
         for t in CONTRIBUTION_TYPE[lang].keys():
             if subsection:
                 search_str = subsection
-            if re.search(t, search_str, flags=re.IGNORECASE):
+            if search_i(t, search_str):
                 contrib_type = CONTRIBUTION_TYPE[lang][t]
                 break
         if contrib_type is None:
             feature = bracket_feature_mapper(elem)
             for t in CONTRIBUTION_TYPE[lang]:
                 try:
-                    if re.search(t, feature, re.IGNORECASE):
+                    if search_i(t, feature):
                         contrib_type = CONTRIBUTION_TYPE[lang][t]
                         break
                 except Exception:
@@ -577,7 +578,7 @@ def map_other_literature_details(elem_list, sect_name, res, lang, g, elems, ctx)
     (uncaught here, swallowed by the dispatcher); general_mapper always
     overwrites a reference-minted URI because map_failed is never cleared."""
     for c in CONTRIBUTORS[lang]:
-        if re.search(c, sect_name, re.I):
+        if search_i(c, sect_name):
             return 0
     for elem in elem_list:
         if isinstance(elem, list):
@@ -586,14 +587,14 @@ def map_other_literature_details(elem_list, sect_name, res, lang, g, elems, ctx)
             continue
         detail_type = None
         for t in OTHER_LITERATURE_DETAILS[lang].keys():
-            if re.search(t, sect_name, flags=re.IGNORECASE):
+            if search_i(t, sect_name):
                 detail_type = OTHER_LITERATURE_DETAILS[lang][t]
                 break
         if detail_type is None:
             feature = bracket_feature_mapper(elem)
             for t in OTHER_LITERATURE_DETAILS[lang]:
                 # TypeError when feature is None — kept (reference mapper.py:1110)
-                if re.search(t, feature, re.IGNORECASE):
+                if search_i(t, feature):
                     detail_type = OTHER_LITERATURE_DETAILS[lang][t]
                     break
         year = month_year_mapper(elem)
@@ -740,7 +741,7 @@ def select_mapping(res_dict, res, lang, res_class, g, ctx=None, mapped_domains=N
         for res_key in res_dict.keys():
             mapped = False
             for dk in domain_keys:
-                if not mapped and re.search(dk, res_key, re.IGNORECASE):
+                if not mapped and search_i(dk, res_key):
                     try:
                         if not is_custom:
                             res_elems += MAPPER_FNS[domain](
