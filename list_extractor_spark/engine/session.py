@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # tmpfs shuffle dirs: local-mode shuffles are disk-bound on this host's
+        # slow /tmp; with 125 GB RAM the spill path belongs in memory (a real
+        # cluster uses NVMe-backed local dirs / push-based shuffle instead)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
