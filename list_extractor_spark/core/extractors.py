@@ -59,12 +59,20 @@ def dbr_ns(lang: str) -> str:
     return "http://" + lang + ".dbpedia.org/resource/"
 
 
+_QUOTE_SAFE_RE = re.compile(r"[A-Za-z0-9_.\-~/]*\Z")
+
+
 def uri_quote(name: str) -> str:
     """urllib2.quote parity: percent-encode with safe='/' over UTF-8 bytes.
 
     Python 2 quote(utf-8 bytes) and Python 3 quote(str) agree byte-for-byte
     for safe='/' (golden files show %28 %27 %2C, reference mapper.py:210,285).
+    Fast path: names made only of characters quote() never encodes (the
+    unreserved set + '/') pass through untouched — the common case for minted
+    entity names.
     """
+    if _QUOTE_SAFE_RE.match(name):
+        return name
     return _urlquote(name, safe="/")
 
 
