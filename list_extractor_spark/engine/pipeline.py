@@ -85,13 +85,14 @@ class Pipeline:
         if p is None:
             return df
         t0 = time.time()
-        if not self._is_done(name):
+        reused = self._is_done(name)  # BEFORE the write, or it's always True
+        if not reused:
             df.write.mode("overwrite").parquet(p)
         out = self.spark.read.parquet(p)
         n = out.count()
         self._lineage.append(
             {"stage": name, "rows": n, "sec": round(time.time() - t0, 3),
-             "reused": self._is_done(name)}
+             "reused": reused}
         )
         return out
 
