@@ -21,14 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from list_extractor_spark.engine.pipeline import run_pipeline  # noqa: E402
 from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA  # noqa: E402
 from list_extractor_spark.fixtures import corpus_to_rows, make_corpus, make_snapshots  # noqa: E402
+from list_extractor_spark.fixtures.contract_oracle import (  # noqa: E402
+    KG_DOCS,
+    KG_HUB_EVERY,
+    KG_HUB_ITEMS,
+    kg_oracle_sql,
+)
 from list_extractor_spark.sources.spanify import spanify_documents  # noqa: E402
 from list_extractor_spark.tda import dedup, multimodal, similarity, textstats  # noqa: E402
 
-_KG_DOCS = 96
+# the driver's correctness harness runs queries and oracles at sf0.01
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _fixture_documents(spark: SparkSession) -> DataFrame:
-    docs = make_corpus(_KG_DOCS, hub_every=48, hub_items=120)
+    docs = make_corpus(KG_DOCS, hub_every=KG_HUB_EVERY, hub_items=KG_HUB_ITEMS)
     return spark.createDataFrame(corpus_to_rows(docs), schema=DOCUMENTS_SCHEMA)
 
 
@@ -59,7 +66,9 @@ def _kg_candidates(spark, sf_dir):
 
     snaps = make_snapshots()
     keys = {(lang, s) for (lang, s, w, r) in snaps["mention_index"]}
-    return extract_candidates(_fixture_documents(spark), linkable_keys=keys)
+    return extract_candidates(_fixture_documents(spark), linkable_keys=keys).select(
+        "doc_id", "subj", "pred", "obj", "obj_dt", "link_lang", "link_surface"
+    )
 
 
 def _kg_parse_items(spark, sf_dir):
@@ -74,6 +83,29 @@ def _kg_metrics(spark, sf_dir):
     snaps = make_snapshots()
     keys = {(lang, s) for (lang, s, w, r) in snaps["mention_index"]}
     return extract_metrics(_fixture_documents(spark), linkable_keys=keys)
+
+
+def _kg_accuracy(spark, sf_dir):
+    """Run-level accuracy rollup (reference utilities.evaluate,
+    utilities.py:319-346 -> evaluation.csv): per resource-name group totals."""
+    from list_extractor_spark.engine.extract import extract_metrics
+
+    snaps = make_snapshots()
+    keys = {(lang, s) for (lang, s, w, r) in snaps["mention_index"]}
+    m = extract_metrics(_fixture_documents(spark), linkable_keys=keys)
+    return (
+        m.groupBy(F.regexp_replace("doc_id", "_[0-9]+$", "").alias("res_group"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_sections").alias("total_sections"),
+            F.sum("n_items").alias("total_items"),
+            F.sum("n_extracted").alias("total_extracted"),
+            F.sum("n_triples").alias("total_triples"),
+            F.round(F.try_divide(F.sum("n_extracted"), F.sum("n_items")), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
 
 
 def _kg_canonical_map(spark, sf_dir):
@@ -300,9 +332,17 @@ def _media_stats(spark, sf_dir):
 
 
 def _media_features(spark, sf_dir):
-    return multimodal.extract_media_features(
+    # flattened to scalar columns (one row per feature dim): array columns are
+    # not hashable by the driver's canonicalizer
+    feats = multimodal.extract_media_features(
         multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
     )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("feature").alias("dim_idx", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -312,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_candidates": _kg_candidates,
         "kg_parse_items": _kg_parse_items,
         "kg_metrics": _kg_metrics,
+        "kg_accuracy": _kg_accuracy,
         "kg_canonical_map": _kg_canonical_map,
         "kg_spanified_triples": _kg_spanified_triples,
         # relational operator checklist (SURVEY.md §2.7)
@@ -497,12 +538,38 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 3 = 1 THEN 'audio'
                         ELSE 'video' END AS media_type,
                    count(*) AS n_media,
-                   sum(octet_length(encode(text))) AS total_bytes,
-                   max(octet_length(encode(text))) AS max_bytes
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
             FROM documents
             GROUP BY 1
         """,
-        # kg_* / dedup_minhash_lsh / dedup_simhash / sim_lsh_topk /
-        # media_features: non-SQL-expressible (pandas UDF or engine-hash
-        # dependent) -> rows-only checks
+        # fake_feature (tda/multimodal.py) in SQL: byte j of the utf-8 payload
+        # recovered from hex(); feature_i = sum(bytes of stripe i) % 1000
+        "media_features": """
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'image'
+                          WHEN doc_id % 3 = 1 THEN 'audio'
+                          ELSE 'video' END AS media_type,
+                     hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS n,
+                     greatest(octet_length(encode(text)) // 4, 1) AS stripe
+              FROM documents
+            )
+            SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+                   CAST(d.i AS INTEGER) AS dim_idx,
+                   CAST(coalesce(list_sum(list_transform(
+                          range(d.i * stripe, least((d.i + 1) * stripe, n)),
+                          j -> (strpos('0123456789ABCDEF', substr(hx, 2*j+1, 1)) - 1) * 16
+                             + (strpos('0123456789ABCDEF', substr(hx, 2*j+2, 1)) - 1))), 0)
+                        % 1000 AS DOUBLE) AS val
+            FROM m, (SELECT unnest(range(4)) AS i) d
+        """,
+        # kg_*: not SQL-expressible as a computation, but the inputs are
+        # deterministic (seeded fixture corpus / pure spanify of the driver
+        # parquet), so the oracle is a VALUES literal generated by the pure-
+        # Python semantics core (fixtures/contract_oracle.py)
+        **kg_oracle_sql(_ORACLE_SF_DIR),
+        # dedup_minhash_lsh / dedup_simhash / sim_lsh_topk: engine-hash
+        # dependent (Spark murmur3) -> rows-only checks
     }

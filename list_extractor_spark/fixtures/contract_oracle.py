@@ -1,0 +1,224 @@
+"""VALUES-literal DuckDB oracles for the kg_* contract queries.
+
+The driver's hard correctness signal is Spark-vs-DuckDB agreement
+(rows + schema + value hash).  The KG pipeline itself is not SQL-expressible,
+but its inputs are fully deterministic: the fixture corpus is seeded
+(fixtures/corpus.py) and the spanify adapter is a pure function of the
+driver's parquet documents.  So the *expected output is a constant*, and the
+"equivalent ANSI SQL" is a VALUES literal generated here by running the
+pure-Python semantics core (the same core the pytest parity gate uses,
+fixtures/oracle.py) — no Spark involved anywhere in this module.
+
+The independence caveat (the generator shares core/ with the implementation)
+is covered separately by tests/test_golden_pages.py, which checks emitted
+triples against the reference's committed .ttl outputs.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from ..core.canonical import build_edges, canonical_map
+from ..core.links import DeferredLinker, split_sentinel
+from ..core.mappers import extract_document
+from ..core.parser import parse_spans
+from .corpus import make_corpus, make_snapshots
+from .oracle import oracle_triples
+
+# contract-query corpus knobs — single source shared with __spark_entry__.py
+KG_DOCS = 96
+KG_HUB_EVERY = 48
+KG_HUB_ITEMS = 120
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def values_sql(rows, cols) -> str:
+    """rows + [(name, ducktype)] -> a SELECT over a VALUES literal with
+    explicit casts (explicit types keep the driver's hash stable: DuckDB
+    must not infer HUGEINT/DECIMAL where Spark produces BIGINT/DOUBLE)."""
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    casts = ", ".join(
+        f'CAST(c{i} AS {t}) AS "{name}"' for i, (name, t) in enumerate(cols)
+    )
+    if not rows:
+        nulls = ", ".join("NULL" for _ in cols)
+        return f"SELECT {casts} FROM (VALUES ({nulls})) AS t({names}) WHERE FALSE"
+    body = ",\n".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT {casts} FROM (VALUES\n{body}\n) AS t({names})"
+
+
+def _fixture_docs():
+    return make_corpus(KG_DOCS, hub_every=KG_HUB_EVERY, hub_items=KG_HUB_ITEMS)
+
+
+def _linkable_keys(snapshots):
+    return {(lang, s) for (lang, s, _w, _r) in snapshots["mention_index"]}
+
+
+def _doc_spans(d):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]]
+
+
+# -- expected-row generators (pure Python, mirror __spark_entry__ queries) ---
+
+
+def kg_pipeline_rows():
+    triples = oracle_triples(_fixture_docs(), make_snapshots(), canonicalize=True)
+    return sorted(triples)
+
+
+def kg_candidates_rows():
+    snaps = make_snapshots()
+    linker = DeferredLinker(_linkable_keys(snaps))
+    out = []
+    for d in _fixture_docs():
+        triples, _ = extract_document(
+            d["doc_id"], [d["res_class"]], d["lang"], _doc_spans(d), linker
+        )
+        for s, p, o, dt in triples:
+            hit = split_sentinel(s)
+            ll, ls = hit if hit is not None else (None, None)
+            out.append((d["doc_id"], s, p, o, dt, ll, ls))
+    return sorted(out, key=lambda r: tuple("" if v is None else v for v in r))
+
+
+def kg_parse_items_rows():
+    out = []
+    for d in _fixture_docs():
+        res_dict = parse_spans(_doc_spans(d), d["lang"])
+        for section_path, items in res_dict.items():
+            for idx, item in enumerate(items):
+                nested = isinstance(item, list)
+                for t in item if nested else [item]:
+                    out.append(
+                        (d["doc_id"], d["lang"], d["res_class"], section_path,
+                         idx, 2 if nested else 1, t)
+                    )
+    return sorted(out)
+
+
+def kg_metrics_rows():
+    snaps = make_snapshots()
+    linker = DeferredLinker(_linkable_keys(snaps))
+    out = []
+    for d in _fixture_docs():
+        triples, (n_sections, n_items, n_extracted) = extract_document(
+            d["doc_id"], d["res_class"], d["lang"], _doc_spans(d), linker
+        )
+        out.append((d["doc_id"], n_sections, n_items, n_extracted, len(triples)))
+    return sorted(out)
+
+
+def kg_accuracy_rows():
+    """Run-level rollup of kg_metrics per resource-name group (the reference's
+    evaluation.csv totals, utilities.py:319-346)."""
+    groups: dict = {}
+    for doc_id, n_sections, n_items, n_extracted, n_triples in kg_metrics_rows():
+        key = re.sub(r"_[0-9]+$", "", doc_id)
+        g = groups.setdefault(key, [0, 0, 0, 0, 0])
+        g[0] += 1
+        g[1] += n_sections
+        g[2] += n_items
+        g[3] += n_extracted
+        g[4] += n_triples
+    out = []
+    for key, (n_docs, s, i, e, t) in sorted(groups.items()):
+        acc = round(e / i, 6) if i else None
+        out.append((key, n_docs, s, i, e, t, acc))
+    return out
+
+
+def kg_canonical_map_rows():
+    snaps = make_snapshots()
+    cmap = canonical_map(build_edges(snaps["redirects"], snaps["sameas"]))
+    return sorted(cmap.items())
+
+
+# -- spanify replication (mirrors sources/spanify.py exactly; Java-regex
+#    semantics: \s is ASCII whitespace, trim() strips 0x20 only) -------------
+
+_SENT_SPLIT = re.compile(r"\.[ \t\n\x0b\f\r]+")
+_WS_SPLIT = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def spanify_python(doc_id, lang, text, res_class="Writer"):
+    sentences = [s for s in _SENT_SPLIT.split(text) if len(s.strip(" ")) > 0]
+    spans = [("section:0", "Works", "", 0)]
+    for i, s in enumerate(sentences):
+        words = _WS_SPLIT.split(s.strip(" "))[:6]
+        year = 1900 + (i * 7 + len(s)) % 120
+        spans.append(
+            ("list_item:1", f"''{' '.join(words)}'' ({year})", "", i + 1)
+        )
+    out_lang = lang if lang in ("en", "it", "de", "es") else "en"
+    return {
+        "doc_id": str(doc_id),
+        "lang": out_lang,
+        "res_class": res_class,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in spans
+        ],
+    }
+
+
+def kg_spanified_rows(sf_dir: str):
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{os.path.join(sf_dir, 'documents.parquet')}'"
+    ).fetchall()
+    spanified = [spanify_python(doc_id, lang, text) for doc_id, lang, text in docs]
+    triples = oracle_triples(spanified, make_snapshots(), canonicalize=True)
+    return sorted(triples)
+
+
+# -- SQL builders -------------------------------------------------------------
+
+_TRIPLE_COLS = [
+    ("subj", "VARCHAR"), ("pred", "VARCHAR"), ("obj", "VARCHAR"), ("obj_dt", "VARCHAR"),
+]
+
+
+def kg_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """All kg_* oracle SQL strings (VALUES literals over expected rows)."""
+    return {
+        "kg_pipeline": values_sql(kg_pipeline_rows(), _TRIPLE_COLS),
+        "kg_candidates": values_sql(
+            kg_candidates_rows(),
+            [("doc_id", "VARCHAR"), ("subj", "VARCHAR"), ("pred", "VARCHAR"),
+             ("obj", "VARCHAR"), ("obj_dt", "VARCHAR"), ("link_lang", "VARCHAR"),
+             ("link_surface", "VARCHAR")],
+        ),
+        "kg_parse_items": values_sql(
+            kg_parse_items_rows(),
+            [("doc_id", "VARCHAR"), ("lang", "VARCHAR"), ("res_class", "VARCHAR"),
+             ("section_path", "VARCHAR"), ("item_idx", "INTEGER"),
+             ("depth", "INTEGER"), ("item_text", "VARCHAR")],
+        ),
+        "kg_metrics": values_sql(
+            kg_metrics_rows(),
+            [("doc_id", "VARCHAR"), ("n_sections", "INTEGER"), ("n_items", "INTEGER"),
+             ("n_extracted", "INTEGER"), ("n_triples", "INTEGER")],
+        ),
+        "kg_accuracy": values_sql(
+            kg_accuracy_rows(),
+            [("res_group", "VARCHAR"), ("n_docs", "BIGINT"), ("total_sections", "BIGINT"),
+             ("total_items", "BIGINT"), ("total_extracted", "BIGINT"),
+             ("total_triples", "BIGINT"), ("accuracy", "DOUBLE")],
+        ),
+        "kg_canonical_map": values_sql(
+            kg_canonical_map_rows(), [("uri", "VARCHAR"), ("canonical", "VARCHAR")]
+        ),
+        "kg_spanified_triples": values_sql(kg_spanified_rows(sf_dir), _TRIPLE_COLS),
+    }
