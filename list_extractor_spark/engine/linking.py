@@ -67,11 +67,16 @@ def resolve_links(
             "left",
         )
 
+    fallback = (
+        ["link_fallback"] if "link_fallback" in candidates.columns else []
+    )
     return resolved.join(F.broadcast(sa), "wikidata_uri", "left").select(
         "doc_id",
         # dbpedia wins when the sameAs snapshot has it (reference
-        # mapper.py:876-880), else the wikidata URI, else the minted subj
-        F.coalesce("dbpedia_uri", "wikidata_uri", "subj").alias("subj"),
+        # mapper.py:876-880), else the wikidata URI; a deferred mention the
+        # index cannot resolve (Bloom false positive / stale index) degrades
+        # to the minted fallback IRI so no sentinel survives; else the subj
+        F.coalesce("dbpedia_uri", "wikidata_uri", *fallback, "subj").alias("subj"),
         "pred",
         "obj",
         "obj_dt",

@@ -24,6 +24,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .bloom import build_bloom
 from .canonicalize import apply_canonical_df, canonical_map_df, identity_edges
 from .extract import extract_candidates_arrow
 from .linking import attach_page_types, resolve_links, resolve_redirects
@@ -108,10 +109,10 @@ class Pipeline:
         page_types: DataFrame | None = None,
     ) -> DataFrame:
         if linkable_keys is None:
-            linkable_keys = {
-                (r["lang"], r["surface"])
-                for r in mention_index.select("lang", "surface").collect()
-            }
+            # distributed Bloom build: the driver holds a fixed-size bitmap,
+            # never the surface rows (collecting a real mention index — 10^8+
+            # surfaces — is the one thing in this path that cannot scale)
+            linkable_keys = build_bloom(mention_index.select("lang", "surface"))
 
         if self._is_done("candidates"):
             candidates = self.spark.read.parquet(self._stage_path("candidates"))

@@ -35,7 +35,9 @@ ITEMS_SCHEMA = T.StructType(
 )
 
 # Output of the extract stage: candidate triples; subjects that still need the
-# linking join carry link_lang/link_surface (sentinel decomposition).
+# linking join carry link_lang/link_surface (sentinel decomposition) plus the
+# minted fallback IRI used when the join finds no index row (Bloom false
+# positive or stale index) — no sentinel can survive to the output.
 CANDIDATES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -45,6 +47,7 @@ CANDIDATES_SCHEMA = T.StructType(
         T.StructField("obj_dt", T.StringType(), True),
         T.StructField("link_lang", T.StringType(), True),
         T.StructField("link_surface", T.StringType(), True),
+        T.StructField("link_fallback", T.StringType(), True),
     ]
 )
 

@@ -76,13 +76,69 @@ def shingle_posting(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+def _cap_postings(posting: DataFrame, key: str, df_cap: int | None) -> DataFrame:
+    """Drop postings whose key occurs in more than ``df_cap`` documents.
+
+    The hub-token guard for inverted-index self-joins: a single shingle shared
+    by d documents contributes d^2 join rows, so boilerplate ("List of ...")
+    makes the join quadratic on one key at scale.  Capping bounds the
+    worst-case join fan-out at df_cap^2 per key.  Set sizes must be computed
+    BEFORE capping (denominators stay exact); dropping hub postings can only
+    LOWER a pair's counted intersection, so the effect is bounded recall loss
+    on pairs whose overlap is mostly boilerplate — the standard trade
+    (cf. stop-word removal in MinHashLSH pipelines).
+
+    The window shuffle partitions by the same key the self-join uses, so the
+    exchange is computed once and reused by both join sides.
+    """
+    if not df_cap:
+        return posting
+    w = Window.partitionBy(key)
+    return (
+        posting.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= df_cap)
+        .drop("_df")
+    )
+
+
+def shingle_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard over n-shingle sets via an inverted-index
+    self-join (codegen posting form), with the hub-shingle df cap."""
+    posting = shingle_posting(documents, n)
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+    capped = _cap_postings(posting, "sh", df_cap)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+        .join(F.broadcast(sizes.selectExpr("doc_id as doc_a", "n as n_a")), "doc_a")
+        .join(F.broadcast(sizes.selectExpr("doc_id as doc_b", "n as n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, df_cap: int | None = None
+) -> DataFrame:
     """Exact pairwise Jaccard over token sets via an inverted-index self-join.
 
     explode(tokens) -> join on token -> count common tokens per pair ->
     jaccard = common / (|A| + |B| - common).  Quadratic only within posting
-    lists; stop-token filtering (df cap) keeps hub tokens from exploding the
-    join at scale.
+    lists; the ``df_cap`` stop-token filter (_cap_postings) keeps hub tokens
+    from exploding the join at scale.
     """
     # PERF: never project size(expr) next to explode(expr) — GenerateExec
     # re-evaluates non-generator child expressions per OUTPUT row, turning the
@@ -90,8 +146,9 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
     # sizes with a cheap aggregation, broadcast them back.
     posting = documents.select("doc_id", F.explode(_tokens()).alias("tok"))
     sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = posting.select(F.col("doc_id").alias("doc_a"), "tok")
-    b = posting.select(F.col("doc_id").alias("doc_b"), "tok")
+    capped = _cap_postings(posting, "tok", df_cap)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "tok")
     pairs = (
         a.join(b, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -196,6 +253,55 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 32) -> DataFrame:
         ).cast("long").alias("simhash"),
     )
     return fp
+
+
+def simhash_pairs(
+    documents: DataFrame, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs from simhash fingerprints via pigeonhole banding.
+
+    Split the fingerprint into max_hamming+1 chunks: any pair within hamming
+    distance d differs in at most d chunks, so at least one chunk matches —
+    the candidate join is on (chunk_id, chunk_val) buckets (sub-quadratic,
+    same scale shape as MinHash-LSH banding), then candidates are verified
+    with an exact popcount of the XOR.  All whole-stage codegen.
+    """
+    n_chunks = max_hamming + 1
+    fp = simhash_fingerprints(documents, bits).localCheckpoint(eager=True)
+    base, rem = divmod(bits, n_chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunk_selects = [
+        fp.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("chunk_id"),
+            F.shiftright("simhash", offsets[c])
+            .bitwiseAND(F.lit((1 << widths[c]) - 1))
+            .alias("chunk_val"),
+        )
+        for c in range(n_chunks)
+    ]
+    banded = chunk_selects[0]
+    for cs in chunk_selects[1:]:
+        banded = banded.unionByName(cs)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["chunk_id", "chunk_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("fp_a"),
+            F.col("y.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def dedup_keep_first(documents: DataFrame) -> DataFrame:

@@ -81,18 +81,45 @@ def hyperplane_buckets(embeddings: DataFrame, planes) -> DataFrame:
     )
 
 
-def lsh_topk(embeddings: DataFrame, query, planes, k: int = 10) -> DataFrame:
-    """ANN top-k: restrict exact scoring to the query's LSH bucket.  At scale
-    the embedding table is written bucketed/partitioned by ``bucket`` so the
-    probe is a partition-pruned scan."""
+def query_bucket(query, planes) -> int:
+    """Hyperplane-sign bucket of a query vector (driver-side, tiny)."""
     q_bucket = 0
     for i, plane in enumerate(planes):
         if sum(a * b for a, b in zip(query, plane)) > 0:
             q_bucket |= 1 << i
+    return q_bucket
+
+
+def lsh_topk(embeddings: DataFrame, query, planes, k: int = 10) -> DataFrame:
+    """ANN top-k computing buckets inline: restrict exact scoring to the
+    query's LSH bucket.  One-shot form — every probe recomputes the corpus
+    buckets, so for repeated probes use write_bucketed_embeddings +
+    lsh_topk_bucketed (partition-pruned scan) instead."""
     buckets = hyperplane_buckets(embeddings, planes)
     in_bucket = embeddings.join(
-        buckets.filter(F.col("bucket") == q_bucket).select("vec_id"), "vec_id", "left_semi"
+        buckets.filter(F.col("bucket") == query_bucket(query, planes)).select("vec_id"),
+        "vec_id",
+        "left_semi",
     )
+    return brute_force_topk(in_bucket, query, k)
+
+
+def write_bucketed_embeddings(embeddings: DataFrame, planes, path: str) -> None:
+    """Materialize the corpus ONCE as parquet partitioned by LSH bucket.
+
+    The scale path for ANN serving: bucket assignment (the full-corpus scan)
+    is paid at build time; every probe afterwards reads exactly one
+    partition directory (Catalyst partition pruning on bucket=<q>), not the
+    corpus.  2^n_planes directories; pick n_planes so a bucket ~ one task."""
+    with_bucket = embeddings.join(hyperplane_buckets(embeddings, planes), "vec_id")
+    with_bucket.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_bucketed(spark, path: str, query, planes, k: int = 10) -> DataFrame:
+    """Probe a materialized bucketed corpus: partition-pruned scan -> exact
+    cosine top-k inside the single matching bucket."""
+    qb = query_bucket(query, planes)
+    in_bucket = spark.read.parquet(path).filter(F.col("bucket") == qb).drop("bucket")
     return brute_force_topk(in_bucket, query, k)
 
 

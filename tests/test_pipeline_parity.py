@@ -97,9 +97,15 @@ def test_canonicalization_spark_matches_oracle(spark, snapshots):
     from list_extractor_spark.core.canonical import build_edges, canonical_map
     from list_extractor_spark.engine.canonicalize import canonical_map_df, identity_edges
 
-    # add a chain and a 2-cycle on top of the fixture edges
+    # add a chain, a 2-cycle, a 3-cycle with a tail entering it, and a
+    # self-loop on top of the fixture edges (cycle -> min-IRI semantics)
     snaps = {
-        "redirects": snapshots["redirects"] + [("A", "B"), ("B", "C"), ("C", "D")],
+        "redirects": snapshots["redirects"]
+        + [("A", "B"), ("B", "C"), ("C", "D")]
+        + [("Zx", "Zy"), ("Zy", "Zx")]
+        + [("Tail1", "Tail2"), ("Tail2", "CycA"),
+           ("CycA", "CycC"), ("CycC", "CycB"), ("CycB", "CycA")]
+        + [("Self", "Self")],
         "sameas": snapshots["sameas"],
     }
     mention_index, sameas, redirects = snapshots_to_dfs(spark, snaps | {"mention_index": []})

@@ -60,6 +60,72 @@ def test_simhash_identical_docs_same_fingerprint(spark, docs):
     assert fps["0"] == fps["dup_exact"]
 
 
+def test_df_cap_bounds_hot_shingle_join(spark):
+    """A boilerplate shingle shared by every doc must not create all-pairs
+    output once capped; pairs that are genuinely similar beyond the hub
+    shingle survive."""
+    boiler = "list of items below"  # 4 tokens -> 2 hub 3-shingles in all docs
+    rows = [(f"d{i}", f"{boiler} unique{i} alpha{i} beta{i} gamma{i}") for i in range(30)]
+    rows += [("twin_a", f"{boiler} same same same same"),
+             ("twin_b", f"{boiler} same same same same extra")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    uncapped = dedup.shingle_jaccard_pairs(df, threshold=0.1).collect()
+    capped = dedup.shingle_jaccard_pairs(df, threshold=0.1, df_cap=10).collect()
+    # uncapped: every pair shares the hub shingles -> quadratic pair count
+    assert len(uncapped) > 100
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert ("twin_a", "twin_b") in capped_pairs
+    # hub-only pairs are gone: no d_i/d_j pair survives the cap
+    assert not any(a.startswith("d") and b.startswith("d") for a, b in capped_pairs)
+
+
+def test_df_cap_exact_when_under_cap(spark, docs):
+    sub = docs.filter(F.col("doc_id").isin("0", "dup_exact", "dup_near"))
+    plain = {(r["doc_a"], r["doc_b"], r["jaccard"])
+             for r in dedup.shingle_jaccard_pairs(sub, threshold=0.5).collect()}
+    capped = {(r["doc_a"], r["doc_b"], r["jaccard"])
+              for r in dedup.shingle_jaccard_pairs(sub, threshold=0.5, df_cap=1000).collect()}
+    assert plain == capped and plain
+
+
+def test_simhash_pairs_finds_near_duplicate(spark, docs):
+    sub = docs.filter(F.col("doc_id").isin("0", "dup_exact", "dup_near"))
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(sub, bits=32, max_hamming=4).collect()}
+    assert pairs.get(("0", "dup_exact")) == 0  # identical text -> hamming 0
+    # near-dup within the radius is found with its exact distance
+    for (a, b), h in pairs.items():
+        assert h <= 4
+
+
+def test_simhash_pairs_respects_hamming_radius(spark):
+    rows = [("a", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("b", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("c", "totally different words entirely unrelated content here now")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(df, max_hamming=2).collect()}
+    assert ("a", "b") in pairs
+    assert ("a", "c") not in pairs and ("b", "c") not in pairs
+
+
+def test_bucketed_ann_matches_inline_and_prunes(spark, tmp_path):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    planes = similarity.make_planes(64, n_planes=4)
+    path = str(tmp_path / "buckets")
+    similarity.write_bucketed_embeddings(rest, planes, path)
+    got = [r["vec_id"] for r in
+           similarity.lsh_topk_bucketed(spark, path, query, planes, k=5).collect()]
+    want = [r["vec_id"] for r in similarity.lsh_topk(rest, query, planes, k=5).collect()]
+    assert got == want
+    # the probe scan is partition-pruned to the query bucket
+    qb = similarity.query_bucket(query, planes)
+    plan = (spark.read.parquet(path).filter(F.col("bucket") == qb)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_fingerprint_ignores_punctuation(spark):
     df = spark.createDataFrame(
         [("a", "Hello, World!"), ("b", "hello world")], "doc_id string, text string"
