@@ -1,0 +1,172 @@
+"""End-to-end parity against the reference's COMMITTED golden output
+(/root/reference/extracted/ListExtractor_Metallica_en_2017_08_15.ttl).
+
+This is the one correctness anchor that shares no code with the
+implementation: the expected triples are parsed straight from the .ttl the
+reference itself published, and the input is a span reconstruction of the
+page's list sections.  It validates the mapper vocabulary (rdf:type Album,
+musicalArtist, releaseYear, bandMember, awardedTo/awardStatus/AwardedFor),
+year literal semantics (gYear lexicals — rdflib serializes Literal("1983",
+gYear) as "1983-01-01", inverted here), the URI percent-encoding quirks
+(%27 in Kill_'Em_All, %28/%29 in (album), dots kept in Hardwired..., St._),
+and the miss-path fallback mint for {{...}} references (members/awards were
+wiki-links the 2017 run resolved over HTTP; with no snapshot rows the minted
+IRI must equal the published one).
+
+The William Gibson golden is NOT triple-compared: its bibliography shape
+(dbo:Novel used as predicate) predates the current reference mapper.py
+(lines 899-910 emit dbo:author + dbo:literaryGenre), so full agreement is
+impossible for any faithful implementation of today's code; its URI-encoding
+lexicals are covered by tests/test_extractors.py.
+"""
+
+import re
+
+from list_extractor_spark.core.extractors import RDF_TYPE, XSD_GYEAR, XSD_GYEARMONTH
+from list_extractor_spark.core.links import NULL_LINKER
+from list_extractor_spark.core.mappers import extract_document
+
+GOLDEN_METALLICA = "/root/reference/extracted/ListExtractor_Metallica_en_2017_08_15.ttl"
+
+DBO = "http://dbpedia.org/ontology/"
+DBR = "http://dbpedia.org/resource/"
+_TOKEN = re.compile(r'<[^>]+>|"[^"]*"\^\^xsd:\w+|\S+')
+
+
+def _term(tok: str) -> str:
+    if tok.startswith("<"):
+        return tok[1:-1]
+    if tok.startswith("dbo:"):
+        return DBO + tok[4:]
+    if tok.startswith("dbr:"):
+        return DBR + tok[4:]
+    raise ValueError(tok)
+
+
+def _obj_term(tok: str):
+    m = re.fullmatch(r'"([^"]*)"\^\^xsd:(\w+)', tok)
+    if m:
+        lex, dt = m.groups()
+        if dt == "gYear":  # rdflib normalization: "1983" -> "1983-01-01"
+            return lex[:4], XSD_GYEAR
+        if dt == "gYearMonth":  # "1985-11" -> "1985-11-01"
+            return lex[:7], XSD_GYEARMONTH
+        raise NotImplementedError(dt)
+    return _term(tok), None
+
+
+def parse_turtle(path: str):
+    """Minimal reader for rdflib-serialized turtle (prefixed names, literal
+    objects, ';' predicate lists, ',' object lists).  No rdflib in the
+    container, and the golden files use only this subset."""
+    toks = []
+    for line in open(path, encoding="utf-8"):
+        line = line.strip()
+        if not line or line.startswith("@prefix"):
+            continue
+        toks.extend(_TOKEN.findall(line))
+    triples = set()
+    subj = pred = None
+    state = "subj"
+    for t in toks:
+        if state == "sep" or t in (".", ";", ","):
+            if t == ".":
+                state = "subj"
+            elif t == ";":
+                state = "pred"
+            elif t == ",":
+                state = "obj"
+            else:
+                raise ValueError(f"expected separator, got {t}")
+            continue
+        attached_comma = t.endswith(",") and not t.startswith('"')
+        if attached_comma:
+            t = t[:-1]
+        if state == "subj":
+            subj = _term(t)
+            state = "pred"
+        elif state == "pred":
+            pred = RDF_TYPE if t == "a" else _term(t)
+            state = "obj"
+        elif state == "obj":
+            o, dt = _obj_term(t)
+            triples.add((subj, pred, o, dt))
+            state = "obj" if attached_comma else "sep"
+    return triples
+
+
+# -- span reconstruction of the Metallica list sections ----------------------
+
+_ALBUMS = [
+    ("Kill 'Em All", 1983), ("Ride the Lightning", 1984), ("Master of Puppets", 1986),
+    ("...And Justice for All (album)", 1988), ("Metallica (album)", 1991),
+    ("Load (album)", 1996), ("Reload (Metallica album)", 1997), ("St. Anger", 2003),
+    ("Death Magnetic", 2008), ("Hardwired... to Self-Destruct", 2016),
+]
+_MEMBERS = [
+    "James Hetfield", "Lars Ulrich", "Kirk Hammett", "Robert Trujillo",
+    "Dave Mustaine", "Ron McGovney", "Cliff Burton", "Jason Newsted", "Bob Rock",
+]
+_AWARDS = [
+    ("Grammy Award for Best Hard Rock Performance", 2000, "Whiskey in the Jar"),
+    ("Grammy Award for Best Metal Performance", 1990, "One (Metallica song)"),
+    ("Grammy Award for Best Metal Performance", 1991, "Metallica (album)"),
+    ("Grammy Award for Best Metal Performance", 1992, "Stone Cold Crazy"),
+    ("Grammy Award for Best Metal Performance", 1999, "Better than You (Metallica song)"),
+    ("Grammy Award for Best Metal Performance", 2004, "St. Anger (song)"),
+    ("Grammy Award for Best Metal Performance", 2009, "My Apocalypse"),
+    ("Grammy Award for Best Rock Instrumental Performance", 2001, "The Call of Ktulu"),
+    ("Grammy Award for Best Recording Package", 2009, "Death Magnetic"),
+]
+
+
+def metallica_spans():
+    spans, off = [], 0
+
+    def add(kind, text):
+        nonlocal off
+        spans.append((kind, text, "", off))
+        off += 1
+
+    add("section:0", "Discography")
+    add("section:1", "Studio albums")
+    for title, year in _ALBUMS:
+        add("list_item:1", f"''{title}'' ({year})")
+    add("section:0", "Band members")
+    for name in _MEMBERS:
+        add("list_item:1", f"{{{{{name}}}}} – instrument")
+    add("section:0", "Awards")
+    for award, year, work in _AWARDS:
+        add("list_item:1", f"Nominated {{{{{award}}}}} {year} for {work}")
+    return spans
+
+
+def test_metallica_triples_match_committed_golden():
+    got, _stats = extract_document(
+        "Metallica", "Band", "en", metallica_spans(), NULL_LINKER
+    )
+    want = parse_turtle(GOLDEN_METALLICA)
+    assert got == want, (sorted(got - want)[:8], sorted(want - got)[:8])
+
+
+def test_metallica_spark_pipeline_matches_committed_golden(spark):
+    from list_extractor_spark.engine.pipeline import run_pipeline
+    from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [("Metallica", "en", "Band", metallica_spans())], schema=DOCUMENTS_SCHEMA
+    )
+    snapshots = {"mention_index": [], "sameas": [], "redirects": []}
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["obj_dt"])
+        for r in run_pipeline(spark, docs, snapshots).collect()
+    }
+    want = parse_turtle(GOLDEN_METALLICA)
+    assert got == want, (sorted(got - want)[:8], sorted(want - got)[:8])
+
+
+def test_golden_parser_roundtrip_counts():
+    want = parse_turtle(GOLDEN_METALLICA)
+    # 10 albums x 3 + 9 members x 1 + 4 award subjects x (status+awardedTo)
+    # + 9 award years + 9 awardedFor
+    assert len(want) == 10 * 3 + 9 + 4 * 2 + 9 + 9
