@@ -25,6 +25,7 @@ from list_extractor_spark.fixtures.contract_oracle import (  # noqa: E402
     KG_DOCS,
     KG_HUB_EVERY,
     KG_HUB_ITEMS,
+    hash_engine_oracle_sql,
     kg_oracle_sql,
 )
 from list_extractor_spark.sources.spanify import spanify_documents  # noqa: E402
@@ -322,6 +323,15 @@ def _sim_near_dup(spark, sf_dir):
     )
 
 
+def _sim_near_dup_lsh(spark, sf_dir):
+    # scale form: blocked on the LSH bucket, not a pre-existing label column
+    return similarity.cosine_near_dup_pairs_lsh(
+        _load(spark, sf_dir, "embeddings"),
+        similarity.make_planes(64, n_planes=6),
+        threshold=0.3,
+    )
+
+
 def _media_stats(spark, sf_dir):
     return multimodal.media_stats(
         multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
@@ -375,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _sim_topk,
         "sim_lsh_topk": _sim_lsh_topk,
         "sim_near_dup": _sim_near_dup,
+        "sim_near_dup_lsh": _sim_near_dup_lsh,
         "media_stats": _media_stats,
         "media_features": _media_features,
     }
@@ -572,6 +583,8 @@ def oracle_sql() -> dict[str, str]:
         # parquet), so the oracle is a VALUES literal generated by the pure-
         # Python semantics core (fixtures/contract_oracle.py)
         **kg_oracle_sql(_ORACLE_SF_DIR),
-        # dedup_minhash_lsh / dedup_simhash / sim_lsh_topk: engine-hash
-        # dependent (Spark murmur3) -> rows-only checks
+        # dedup_minhash_lsh / dedup_simhash(_pairs) / sim_lsh_topk: outputs
+        # are deterministic functions of Spark's murmur3, mirrored bit-for-bit
+        # in fixtures/spark_hash.py -> generated VALUES/SQL oracles
+        **hash_engine_oracle_sql(_ORACLE_SF_DIR),
     }

@@ -183,6 +183,167 @@ def kg_spanified_rows(sf_dir: str):
     return sorted(triples)
 
 
+# -- hash-engine operators (minhash / simhash / LSH ANN) ----------------------
+# Deterministic functions of Spark's murmur3 (fixtures/spark_hash.py mirrors
+# it bit-for-bit), so the oracle is generated pure-Python + plain SQL.
+
+from .spark_hash import hash_int, hash_str  # noqa: E402
+
+
+def _sf_documents(sf_dir: str):
+    import duckdb
+
+    return duckdb.sql(
+        "SELECT CAST(doc_id AS VARCHAR), text FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+    ).fetchall()
+
+
+def _py_tokens(text: str):
+    # mirrors _tokens() in tda/dedup.py: array_distinct(split(lower(trim s)))
+    out, seen = [], set()
+    for t in _WS_SPLIT.split(text.strip(" ").lower()):
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def _py_shingles(text: str, n: int = 3):
+    toks = _WS_SPLIT.split(text.strip(" ").lower())
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def simhash_fp_rows(sf_dir: str, bits: int = 32):
+    rows = []
+    for doc_id, text in _sf_documents(sf_dir):
+        votes = [0] * bits
+        for tok in _py_tokens(text):
+            h = hash_str(tok) & ((1 << bits) - 1)
+            for i in range(bits):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        fp = sum(1 << i for i in range(bits) if votes[i] > 0)
+        rows.append((doc_id, fp))
+    return sorted(rows)
+
+
+def minhash_lsh_rows(sf_dir: str, k: int = 16, bands: int = 4, threshold: float = 0.2):
+    rows_per_band = k // bands
+    shingle_sets = {d: _py_shingles(t) for d, t in _sf_documents(sf_dir)}
+    sigs = {}
+    for doc_id, shs in shingle_sets.items():
+        if not shs:
+            continue
+        base = [hash_str(sh) for sh in shs]
+        sigs[doc_id] = [min(hash_int(i, b & 0xFFFFFFFF) for b in base) for i in range(k)]
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            h = 42
+            for r in range(rows_per_band):
+                h = hash_int(sig[b * rows_per_band + r], h)
+            buckets.setdefault((b, h), []).append(doc_id)
+    cand = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cand.add((a, b))
+    out = []
+    for a, b in cand:
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        common = len(sa & sb)
+        j = round(common / (len(sa) + len(sb) - common), 6)
+        if j >= threshold:
+            out.append((a, b, j))
+    return sorted(out)
+
+
+def _plane_sql(plane) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+
+
+def lsh_topk_sql(sf_dir: str, dim: int = 64, n_planes: int = 6, k: int = 10) -> str:
+    import duckdb
+
+    from ..tda.similarity import make_planes, query_bucket
+
+    planes = make_planes(dim, n_planes=n_planes)
+    (qvec,) = duckdb.sql(
+        f"SELECT embedding FROM '{os.path.join(sf_dir, 'embeddings.parquet')}' "
+        "WHERE vec_id = 0"
+    ).fetchone()
+    qb = query_bucket([float(x) for x in qvec], planes)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_plane_sql(p)})"
+        f" > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        b AS (
+          SELECT vec_id, embedding, {bucket_expr} AS bucket
+          FROM embeddings WHERE vec_id != 0
+        )
+        SELECT vec_id,
+               round(list_dot_product(embedding, qv)
+                     / (sqrt(list_dot_product(embedding, embedding))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+        FROM b, q
+        WHERE bucket = {qb}
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
+def near_dup_lsh_sql(dim: int = 64, n_planes: int = 6, threshold: float = 0.3) -> str:
+    from ..tda.similarity import make_planes
+
+    planes = make_planes(dim, n_planes=n_planes)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_plane_sql(p)})"
+        f" > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+               round(list_dot_product(a.embedding, x.embedding)
+                     / (sqrt(list_dot_product(a.embedding, a.embedding))
+                        * sqrt(list_dot_product(x.embedding, x.embedding))), 4) AS cos_sim
+        FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+        WHERE list_dot_product(a.embedding, x.embedding)
+              / (sqrt(list_dot_product(a.embedding, a.embedding))
+                 * sqrt(list_dot_product(x.embedding, x.embedding))) >= {threshold}
+    """
+
+
+def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
+    fp_values = values_sql(
+        simhash_fp_rows(sf_dir), [("doc_id", "VARCHAR"), ("simhash", "BIGINT")]
+    )
+    return {
+        "dedup_simhash": fp_values,
+        # brute-force all-pairs over the fingerprint constants: ALSO verifies
+        # the banded candidate join loses no pair within the hamming radius
+        "dedup_simhash_pairs": f"""
+            WITH fp AS ({fp_values})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "dedup_minhash_lsh": values_sql(
+            minhash_lsh_rows(sf_dir),
+            [("doc_a", "VARCHAR"), ("doc_b", "VARCHAR"), ("jaccard", "DOUBLE")],
+        ),
+        "sim_lsh_topk": lsh_topk_sql(sf_dir),
+        "sim_near_dup_lsh": near_dup_lsh_sql(),
+    }
+
+
 # -- SQL builders -------------------------------------------------------------
 
 _TRIPLE_COLS = [

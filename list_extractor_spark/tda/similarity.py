@@ -170,6 +170,18 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_lsh(
+    embeddings: DataFrame, planes, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-dup pairs blocked on the LSH bucket — the scale form of
+    cosine_near_dup_pairs (no label column needed): hyperplane buckets bound
+    the quadratic term, one numpy matmul per bucket.  Recall = pairs whose
+    members share all hyperplane signs; more planes -> smaller blocks, lower
+    recall (standard LSH trade)."""
+    with_bucket = embeddings.join(hyperplane_buckets(embeddings, planes), "vec_id")
+    return cosine_near_dup_pairs(with_bucket, threshold=threshold, block_col="bucket")
+
+
 def make_planes(dim: int, n_planes: int = 8, seed: int = 42):
     """Deterministic pseudo-random hyperplanes (LCG, no RNG state at exec time)."""
     planes = []
