@@ -332,6 +332,80 @@ def _sim_near_dup_lsh(spark, sf_dir):
     )
 
 
+# -- streaming (Structured Streaming surfaces under the driver's hard signal) -
+
+
+def _stream_kg_extract(spark, sf_dir):
+    """Streaming extract+link (availableNow) over the staged fixture corpus;
+    result read back from the append sink.  Batch-equivalent by construction
+    (stateless extract), so it carries a VALUES oracle."""
+    import tempfile
+
+    from list_extractor_spark.engine.pipeline import snapshots_to_dfs
+    from list_extractor_spark.streaming.stream_extract import (
+        stream_documents,
+        stream_triples,
+    )
+
+    src = os.path.join(tempfile.gettempdir(), f"sg_stream_docs_{KG_DOCS}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        _fixture_documents(spark).write.mode("overwrite").parquet(src)
+    out = tempfile.mkdtemp(prefix="sg_stream_out_")
+    ck = tempfile.mkdtemp(prefix="sg_stream_ck_")
+    snaps = make_snapshots()
+    mention_index, sameas, _ = snapshots_to_dfs(spark, snaps)
+    keys = {(lang, s) for (lang, s, w, r) in snaps["mention_index"]}
+    q = stream_triples(
+        stream_documents(spark, src), mention_index, sameas, keys, out, ck
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("doc_id", "subj", "pred", "obj", "obj_dt")
+
+
+def _stream_windowed_events(spark, sf_dir):
+    """Watermarked tumbling-window aggregation over the events table run AS A
+    STREAM (availableNow, complete mode to a memory sink)."""
+    import uuid
+
+    from list_extractor_spark.streaming.stream_extract import windowed_event_counts
+
+    events_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    import tempfile
+
+    # the parquet file source streams a DIRECTORY; stage the single file once
+    src = os.path.join(
+        tempfile.gettempdir(), f"sg_events_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).write.mode(
+            "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"winev_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def _media_stats(spark, sf_dir):
     return multimodal.media_stats(
         multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
@@ -388,6 +462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_lsh": _sim_near_dup_lsh,
         "media_stats": _media_stats,
         "media_features": _media_features,
+        # streaming
+        "stream_kg_extract": _stream_kg_extract,
+        "stream_windowed_events": _stream_windowed_events,
     }
 
 

@@ -51,7 +51,7 @@ def warmup(spark):
     run_pipeline(spark, df.repartition(CPUS), make_snapshots()).count()
 
 
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def time_kg_pipeline(spark):

@@ -138,6 +138,30 @@ def kg_accuracy_rows():
     return out
 
 
+def stream_extract_rows():
+    """Expected rows of the streaming extract+link flow: per-doc extraction
+    with the fully-resolved snapshot linker (the stream's deferred-sentinel +
+    broadcast-join path resolves to exactly this — parity-tested batch-side)."""
+    from .oracle import snapshot_linker
+
+    snaps = make_snapshots()
+    linker = snapshot_linker(snaps)
+    out = []
+    for d in _fixture_docs():
+        triples, _ = extract_document(
+            d["doc_id"], [d["res_class"]], d["lang"], _doc_spans(d), linker
+        )
+        out.extend((d["doc_id"], s, p, o, dt) for s, p, o, dt in triples)
+    return sorted(out, key=lambda r: tuple("" if v is None else v for v in r))
+
+
+STREAM_WINDOWED_EVENTS_SQL = """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
 def kg_canonical_map_rows():
     snaps = make_snapshots()
     cmap = canonical_map(build_edges(snaps["redirects"], snaps["sameas"]))
@@ -382,4 +406,9 @@ def kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             kg_canonical_map_rows(), [("uri", "VARCHAR"), ("canonical", "VARCHAR")]
         ),
         "kg_spanified_triples": values_sql(kg_spanified_rows(sf_dir), _TRIPLE_COLS),
+        "stream_kg_extract": values_sql(
+            stream_extract_rows(),
+            [("doc_id", "VARCHAR")] + _TRIPLE_COLS,
+        ),
+        "stream_windowed_events": STREAM_WINDOWED_EVENTS_SQL,
     }
