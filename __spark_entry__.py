@@ -31,8 +31,12 @@ from list_extractor_spark.fixtures.contract_oracle import (  # noqa: E402
 from list_extractor_spark.sources.spanify import spanify_documents  # noqa: E402
 from list_extractor_spark.tda import dedup, multimodal, similarity, textstats  # noqa: E402
 
-# the driver's correctness harness runs queries and oracles at sf0.01
-_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+def _oracle_sf_dir() -> str:
+    """The driver's correctness harness always runs at sf0.01; the dedicated
+    override exists for local what-if runs (scripts/check_contract.py sets it
+    to its own SF_DIR).  Deliberately NOT SPARK_GRAFT_SF_DIR — that one often
+    points at the bench scale factor."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _fixture_documents(spark: SparkSession) -> DataFrame:
@@ -659,9 +663,9 @@ def oracle_sql() -> dict[str, str]:
         # deterministic (seeded fixture corpus / pure spanify of the driver
         # parquet), so the oracle is a VALUES literal generated by the pure-
         # Python semantics core (fixtures/contract_oracle.py)
-        **kg_oracle_sql(_ORACLE_SF_DIR),
+        **kg_oracle_sql(_oracle_sf_dir()),
         # dedup_minhash_lsh / dedup_simhash(_pairs) / sim_lsh_topk: outputs
         # are deterministic functions of Spark's murmur3, mirrored bit-for-bit
         # in fixtures/spark_hash.py -> generated VALUES/SQL oracles
-        **hash_engine_oracle_sql(_ORACLE_SF_DIR),
+        **hash_engine_oracle_sql(_oracle_sf_dir()),
     }

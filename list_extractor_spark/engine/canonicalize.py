@@ -18,8 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def canonical_map_df(edges: DataFrame, max_iters: int = 12) -> DataFrame:
+def canonical_map_df(
+    edges: DataFrame, max_iters: int = 12, driver_threshold: int = 100_000
+) -> DataFrame:
     """edges(uri, parent) -> (uri, canonical) for every uri that changes.
+
+    Size-adaptive (same spirit as autoBroadcastJoinThreshold): identity-edge
+    sets up to ``driver_threshold`` rows resolve with the exact pure-Python
+    union-find (core/canonical.py — the oracle itself) in one collect, because
+    the iterative join loop below costs ~2 s of pure job-scheduling latency
+    even on 30 rows.  Past the threshold (real redirect/sameAs dumps, ~10^8
+    rows) the distributed pointer-doubling loop runs.
 
     Pointer doubling: each round rewrites parent -> grandparent where one
     exists.  Converged when no row changed — which happens iff the edge set is
@@ -40,6 +49,14 @@ def canonical_map_df(edges: DataFrame, max_iters: int = 12) -> DataFrame:
     and a 32-way shuffle of 40 rows costs more scheduler time than the join.
     """
     n_edges = edges.limit(1_000_000).count()
+    if n_edges <= driver_threshold:
+        from ..core.canonical import canonical_map
+
+        parent = {r["uri"]: r["parent"] for r in edges.collect()}  # dict: last wins
+        cmap = sorted(canonical_map(parent).items())
+        return edges.sparkSession.createDataFrame(
+            cmap, schema="uri string, canonical string"
+        )
     parts = max(1, min(int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
                        n_edges // 50_000 + 1))
     cur = edges.select("uri", F.col("parent").alias("canonical")).repartition(parts)

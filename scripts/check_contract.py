@@ -19,6 +19,7 @@ from list_extractor_spark.engine.session import get_spark  # noqa: E402
 from list_extractor_spark.sources.loaders import TABLES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR  # keep oracles on the same sf
 
 
 def canon(v):

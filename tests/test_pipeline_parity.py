@@ -109,12 +109,17 @@ def test_canonicalization_spark_matches_oracle(spark, snapshots):
         "sameas": snapshots["sameas"],
     }
     mention_index, sameas, redirects = snapshots_to_dfs(spark, snaps | {"mention_index": []})
-    got = {
-        (r["uri"], r["canonical"])
-        for r in canonical_map_df(identity_edges(redirects, sameas)).collect()
-    }
     want = set(canonical_map(build_edges(snaps["redirects"], snaps["sameas"])).items())
-    assert got == want
+    # driver fast path (small edge sets) AND the distributed pointer-doubling
+    # loop (forced via driver_threshold=0) must both equal the oracle
+    for threshold in (100_000, 0):
+        got = {
+            (r["uri"], r["canonical"])
+            for r in canonical_map_df(
+                identity_edges(redirects, sameas), driver_threshold=threshold
+            ).collect()
+        }
+        assert got == want, threshold
 
 
 def test_resume_reproduces_identical_triples(spark, corpus, snapshots, documents_df, tmp_path):
