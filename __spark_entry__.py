@@ -321,6 +321,13 @@ def _sim_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk_bucketed(spark, path, _query_vector(sf_dir), planes, k=10)
 
 
+def _sim_ivf_topk(spark, sf_dir):
+    # IVF ANN: deterministic Lloyd coarse quantizer + nprobe cell probe
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    cents = similarity.kmeans_centroids(emb, k=16, iters=5, sample=4096)
+    return similarity.ivf_topk(emb, cents, _query_vector(sf_dir), k=10, nprobe=2)
+
+
 def _sim_near_dup(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(
         _load(spark, sf_dir, "embeddings"), threshold=0.5
@@ -462,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "sim_topk": _sim_topk,
         "sim_lsh_topk": _sim_lsh_topk,
+        "sim_ivf_topk": _sim_ivf_topk,
         "sim_near_dup": _sim_near_dup,
         "sim_near_dup_lsh": _sim_near_dup_lsh,
         "media_stats": _media_stats,

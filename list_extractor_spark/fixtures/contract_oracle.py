@@ -344,6 +344,58 @@ def near_dup_lsh_sql(dim: int = 64, n_planes: int = 6, threshold: float = 0.3) -
     """
 
 
+def ivf_topk_sql(sf_dir: str, k_cents: int = 16, iters: int = 5,
+                 sample: int = 4096, nprobe: int = 2, k: int = 10) -> str:
+    """IVF ANN oracle: centroids from the shared Lloyd loop (bit-identical to
+    the Spark trainer), assignment as a first-argmin CASE cascade over
+    centroid-literal dot products, probe cells from the shared python helper."""
+    import duckdb
+
+    from ..tda.similarity import ivf_probe_centroids, lloyd_centroids
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{emb_path}' WHERE vec_id != 0 "
+        f"ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    cents = lloyd_centroids([r[0] for r in rows], k_cents, iters)
+    (qvec,) = duckdb.sql(
+        f"SELECT embedding FROM '{emb_path}' WHERE vec_id = 0"
+    ).fetchone()
+    probe = ivf_probe_centroids([float(v) for v in qvec], cents, nprobe)
+
+    score_cols = ",\n".join(
+        f"-2 * list_dot_product(CAST(embedding AS DOUBLE[]), {_plane_sql(c)})"
+        f" + {repr(sum(v * v for v in c))} AS s{i}"
+        for i, c in enumerate(cents)
+    )
+    n = len(cents)
+    whens = []
+    for i in range(n - 1):
+        rest = ", ".join(f"s{j}" for j in range(i + 1, n))
+        least = f"least({rest})" if i + 1 < n - 1 else rest
+        whens.append(f"WHEN s{i} <= {least} THEN {i}")
+    case = "CASE " + " ".join(whens) + f" ELSE {n - 1} END"
+    return f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id, embedding, {score_cols}
+          FROM embeddings WHERE vec_id != 0
+        ),
+        cells AS (
+          SELECT vec_id, embedding, {case} AS centroid_id FROM scored
+        )
+        SELECT vec_id,
+               round(list_dot_product(embedding, qv)
+                     / (sqrt(list_dot_product(embedding, embedding))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+        FROM cells, q
+        WHERE centroid_id IN ({", ".join(str(p) for p in probe)})
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
 def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
     fp_values = values_sql(
         simhash_fp_rows(sf_dir), [("doc_id", "VARCHAR"), ("simhash", "BIGINT")]
@@ -365,6 +417,7 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
         ),
         "sim_lsh_topk": lsh_topk_sql(sf_dir),
         "sim_near_dup_lsh": near_dup_lsh_sql(),
+        "sim_ivf_topk": ivf_topk_sql(sf_dir),
     }
 
 

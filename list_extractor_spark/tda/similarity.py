@@ -182,6 +182,89 @@ def cosine_near_dup_pairs_lsh(
     return cosine_near_dup_pairs(with_bucket, threshold=threshold, block_col="bucket")
 
 
+# -- IVF (inverted-file) ANN --------------------------------------------------
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 16, iters: int = 5,
+                     sample: int = 4096):
+    """Deterministic coarse quantizer: Lloyd iterations on a fixed sample.
+
+    The standard IVF train path — the quantizer is trained driver-side on a
+    bounded sample (orderBy vec_id limit N: deterministic regardless of
+    partitioning), assignment runs distributed.  Init = first k sample
+    vectors; an emptied cluster keeps its previous centroid.  Returns a
+    list[list[float]] (plain python: ships as a tiny broadcast/literal)."""
+    import numpy as np
+
+    rows = embeddings.orderBy("vec_id").limit(sample).select("embedding").collect()
+    return lloyd_centroids([r["embedding"] for r in rows], k, iters)
+
+
+def lloyd_centroids(vectors, k: int = 16, iters: int = 5):
+    """Pure Lloyd loop over an already-sampled vector list (float64 numpy);
+    shared by the Spark trainer and the contract-oracle generator so both
+    produce bit-identical centroids."""
+    import numpy as np
+
+    x = np.array(vectors, dtype="float64")
+    cents = x[:k].copy()
+    for _ in range(iters):
+        scores = -2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)
+        assign = scores.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+def ivf_assign(embeddings: DataFrame, centroids) -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid by L2, computed as
+    argmin(-2 e·c + ||c||^2) with one numpy matmul per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    cents = [list(map(float, c)) for c in centroids]
+
+    def run(batches):
+        c = np.array(cents, dtype="float64")
+        c_norm2 = (c * c).sum(axis=1)
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            assign = (-2.0 * (x @ c.T) + c_norm2).argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "centroid_id": assign.astype("int32")})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, centroid_id int"
+    )
+
+
+def ivf_probe_centroids(query, centroids, nprobe: int = 2):
+    """The nprobe nearest centroid ids to the query (driver-side, tiny)."""
+    scored = []
+    for i, c in enumerate(centroids):
+        s = -2.0 * sum(a * b for a, b in zip(query, c)) + sum(v * v for v in c)
+        scored.append((s, i))
+    scored.sort()
+    return [i for (_s, i) in scored[:nprobe]]
+
+
+def ivf_topk(embeddings: DataFrame, centroids, query, k: int = 10,
+             nprobe: int = 2) -> DataFrame:
+    """IVF ANN top-k: score only vectors assigned to the nprobe nearest
+    centroids.  At scale the corpus is written partitioned by centroid_id
+    (same pattern as write_bucketed_embeddings) so a probe reads nprobe
+    partition directories; here assignment fuses into the probe scan."""
+    probe = ivf_probe_centroids(query, centroids, nprobe)
+    assigned = ivf_assign(embeddings, centroids)
+    in_cells = embeddings.join(
+        F.broadcast(assigned.filter(F.col("centroid_id").isin(probe)).select("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    return brute_force_topk(in_cells, query, k)
+
+
 def make_planes(dim: int, n_planes: int = 8, seed: int = 42):
     """Deterministic pseudo-random hyperplanes (LCG, no RNG state at exec time)."""
     planes = []

@@ -126,6 +126,23 @@ def test_bucketed_ann_matches_inline_and_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_ivf_finds_planted_copy_and_is_partition_invariant(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planted = spark.createDataFrame(
+        [(999999, query, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    rest = emb.filter(F.col("vec_id") != 0).unionByName(planted)
+    cents = similarity.kmeans_centroids(rest, k=8, iters=3, sample=512)
+    # an exact copy shares the query's nearest centroid -> found at nprobe=1
+    got = [r["vec_id"] for r in similarity.ivf_topk(rest, cents, query, k=1, nprobe=1).collect()]
+    assert got == [999999]
+    # assignment is a pure per-row function: repartitioning must not change it
+    a1 = sorted(tuple(r) for r in similarity.ivf_assign(rest.repartition(1), cents).collect())
+    a8 = sorted(tuple(r) for r in similarity.ivf_assign(rest.repartition(8), cents).collect())
+    assert a1 == a8
+
+
 def test_fingerprint_ignores_punctuation(spark):
     df = spark.createDataFrame(
         [("a", "Hello, World!"), ("b", "hello world")], "doc_id string, text string"
