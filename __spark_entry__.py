@@ -417,6 +417,34 @@ def _stream_windowed_events(spark, sf_dir):
     )
 
 
+def _stream_stateful_dedup(spark, sf_dir):
+    """applyInPandasWithState exact dedup over a duplicate-injected fixture
+    stream (single availableNow batch over one staged file -> deterministic)."""
+    import tempfile
+
+    from list_extractor_spark.streaming.stateful import streaming_exact_dedup
+
+    src = os.path.join(tempfile.gettempdir(), f"sg_statedup_docs_{KG_DOCS}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        docs = _fixture_documents(spark)
+        dups = docs.limit(10).withColumn("doc_id", F.concat(F.lit("dup_"), "doc_id"))
+        docs.unionByName(dups).repartition(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src)
+    out = tempfile.mkdtemp(prefix="sg_statedup_out_")
+    ck = tempfile.mkdtemp(prefix="sg_statedup_ck_")
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def _media_stats(spark, sf_dir):
     return multimodal.media_stats(
         multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
@@ -477,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming
         "stream_kg_extract": _stream_kg_extract,
         "stream_windowed_events": _stream_windowed_events,
+        "stream_stateful_dedup": _stream_stateful_dedup,
     }
 
 

@@ -155,6 +155,27 @@ def stream_extract_rows():
     return sorted(out, key=lambda r: tuple("" if v is None else v for v in r))
 
 
+def stream_stateful_dedup_rows():
+    """Expected verdicts of the stateful streaming dedup over the duplicate-
+    injected fixture corpus (one batch, per-group doc_ids sorted): per hash
+    group kept = first sorted doc, n_seen = sorted rank."""
+    import hashlib
+
+    docs = _fixture_docs()
+    rows = [(d["doc_id"], "\x00".join(s["text"] for s in d["spans"])) for d in docs]
+    rows += [("dup_" + d, t) for d, t in rows[:10]]
+    groups: dict = {}
+    for doc_id, text in rows:
+        h = hashlib.md5(text.encode("utf-8")).hexdigest()
+        groups.setdefault(h, []).append(doc_id)
+    out = []
+    for h, ids in groups.items():
+        ids.sort()
+        for i, doc_id in enumerate(ids):
+            out.append((h, doc_id, i == 0, ids[0], i + 1))
+    return sorted(out)
+
+
 STREAM_WINDOWED_EVENTS_SQL = """
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
            count(*) AS n_events, round(sum(value), 4) AS sum_value
@@ -464,4 +485,9 @@ def kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             [("doc_id", "VARCHAR")] + _TRIPLE_COLS,
         ),
         "stream_windowed_events": STREAM_WINDOWED_EVENTS_SQL,
+        "stream_stateful_dedup": values_sql(
+            stream_stateful_dedup_rows(),
+            [("text_hash", "VARCHAR"), ("doc_id", "VARCHAR"), ("kept", "BOOLEAN"),
+             ("first_doc_id", "VARCHAR"), ("n_seen", "BIGINT")],
+        ),
     }
