@@ -40,6 +40,8 @@ def _term(tok: str) -> str:
         return DBO + tok[4:]
     if tok.startswith("dbr:"):
         return DBR + tok[4:]
+    if tok.startswith("rdf:"):
+        return "http://www.w3.org/1999/02/22-rdf-syntax-ns#" + tok[4:]
     raise ValueError(tok)
 
 
@@ -163,6 +165,21 @@ def test_metallica_spark_pipeline_matches_committed_golden(spark):
     }
     want = parse_turtle(GOLDEN_METALLICA)
     assert got == want, (sorted(got - want)[:8], sorted(want - got)[:8])
+
+
+def test_turtle_sink_roundtrips_through_golden_parser(tmp_path):
+    """Closing the serialization loop: our Turtle sink's output (S6), parsed
+    by the same reader that parses the reference's goldens, must reproduce
+    the triple set exactly — including the rdflib gYear normalization the
+    sink emulates ("1988" -> "1988-01-01") and its inversion."""
+    from list_extractor_spark.engine.sinks import to_turtle
+
+    triples, _ = extract_document(
+        "Metallica", "Band", "en", metallica_spans(), NULL_LINKER
+    )
+    p = tmp_path / "out.ttl"
+    p.write_text(to_turtle(sorted(triples)), encoding="utf-8")
+    assert parse_turtle(str(p)) == triples
 
 
 def test_golden_parser_roundtrip_counts():
