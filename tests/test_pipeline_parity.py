@@ -122,6 +122,33 @@ def test_canonicalization_spark_matches_oracle(spark, snapshots):
         assert got == want, threshold
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_canonicalization_random_digraphs(spark, seed):
+    """Randomized functional digraphs (chains, trees, cycles with tails,
+    self-loops all arise) through the DISTRIBUTED pointer-doubling +
+    cycle-collapse path must equal the pure union-find oracle."""
+    import random
+
+    from list_extractor_spark.core.canonical import canonical_map
+    from list_extractor_spark.engine.canonicalize import canonical_map_df
+
+    rng = random.Random(seed)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    parent = {}
+    for n in nodes:
+        if rng.random() < 0.8:  # each node gets at most one outgoing edge
+            parent[n] = rng.choice(nodes)
+    edges = spark.createDataFrame(
+        sorted(parent.items()), schema="uri string, parent string"
+    )
+    got = {
+        (r["uri"], r["canonical"])
+        for r in canonical_map_df(edges, driver_threshold=0).collect()
+    }
+    want = set(canonical_map(parent).items())
+    assert got == want, (seed, sorted(got ^ want)[:6])
+
+
 def test_resume_reproduces_identical_triples(spark, corpus, snapshots, documents_df, tmp_path):
     run_dir = str(tmp_path / "run")
     first = _collect_triples(

@@ -70,3 +70,43 @@ def test_dedup_is_single_shuffle(spark):
     )
     plan = _plan(cand.dropDuplicates(["subj", "pred", "obj", "obj_dt"]))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_ivf_probe_joins_are_not_sort_merge(spark):
+    """The IVF probe must stay broadcast (semi-join of the probe-cell id set
+    against the corpus), never a corpus-wide sort-merge."""
+    from list_extractor_spark.tda import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    cents = similarity.kmeans_centroids(rest, k=8, iters=2, sample=256)
+    plan = _plan(similarity.ivf_topk(rest, cents, query, k=5, nprobe=2))
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k without a global sort
+
+
+def test_simhash_pairs_candidate_join_no_sort_merge(spark):
+    from list_extractor_spark.tda import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).limit(50)
+    plan = _plan(dedup.simhash_pairs(docs))
+    # pigeonhole banding makes an equi-join on (chunk_id, chunk_val);
+    # verification is a codegen'd popcount filter, no second pass over docs
+    assert "bit_count" in plan
+    assert plan.count("mapInPandas") == 0  # fully JVM-side
+
+
+def test_bloom_build_plan_has_no_global_collect_of_rows(spark):
+    """The bloom reduce collects ONE binary row, not the key rows: the plan
+    of the reduced bitmap frame must end in a single-partition exchange over
+    bitmap rows (width = n_partitions), never a sort/aggregate of keys."""
+    from list_extractor_spark.engine.bloom import build_bloom
+
+    keys = spark.createDataFrame(
+        [("en", f"s{i}") for i in range(100)], "lang string, surface string"
+    ).repartition(8)
+    bloom = build_bloom(keys)
+    assert ("en", "s3") in bloom and ("en", "absent") not in bloom
