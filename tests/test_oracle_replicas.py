@@ -1,0 +1,80 @@
+"""The contract-oracle generators replicate Spark-side transformations in
+pure Python (fixtures/contract_oracle.py).  Any silent divergence breaks the
+driver's hash gate in a later round, so each replica is pinned against the
+real Spark implementation on an adversarial text corpus: Java-vs-Python regex
+whitespace semantics (\\s is ASCII-only in Java, unicode-aware in Python),
+trim-vs-strip (Spark trim strips 0x20 only), NBSP, CRLF, fullwidth chars,
+emoji, empty and dot-only strings."""
+
+from pyspark.sql import functions as F
+
+from list_extractor_spark.fixtures.contract_oracle import (
+    _py_shingles,
+    _py_tokens,
+    spanify_python,
+)
+from list_extractor_spark.sources.spanify import spanify_documents
+from list_extractor_spark.tda.dedup import _tokens, shingle_posting
+
+NASTY = [
+    "plain words here",
+    "",
+    " ",
+    "...",
+    "a. b.  c.\td.\ne.",
+    "one.  two.\t\tthree.\r\nfour",
+    "trailing dot.",
+    ". leading",
+    "tabs\tbetween\twords",
+    "nbsp\xa0stays\xa0glued",          # \xa0 is NOT Java \s: must stay one token
+    "unicode wörds ünd ßtuff. mörె more",
+    "emoji 🎸 rocks. second 🎷 half",
+    "CRLF line.\r\nnext line",
+    "multi  spaces   collapse",
+    "dot.immediately",                  # no whitespace after dot: no split
+    "UPPER lower MiXeD. Case",
+    "a.b.c d.e.f",
+    "ends with spaces   ",
+    "   starts with spaces",
+    "vertical\x0btab and formfeed\x0csplit",
+    "ideographic　space stays",        # U+3000 is not Java \s either
+    "word. " + "x" * 300 + ". tail",
+]
+
+
+def test_spanify_replica_matches_spark(spark):
+    rows = [(str(i), "en", t) for i, t in enumerate(NASTY)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in spanify_documents(df).collect()
+    }
+    for doc_id, lang, text in rows:
+        want = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in spanify_python(doc_id, lang, text)["spans"]
+        ]
+        assert got[doc_id] == want, (doc_id, text, got[doc_id][:3], want[:3])
+
+
+def test_token_replica_matches_spark(spark):
+    rows = [(str(i), t) for i, t in enumerate(NASTY)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: list(r["toks"])
+        for r in df.select("doc_id", _tokens().alias("toks")).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == _py_tokens(text), (doc_id, text)
+
+
+def test_shingle_replica_matches_spark(spark):
+    rows = [(str(i), t) for i, t in enumerate(NASTY)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got: dict = {d: set() for d, _ in rows}
+    for r in shingle_posting(df).collect():
+        got[r["doc_id"]].add(r["sh"])
+    for doc_id, text in rows:
+        assert got[doc_id] == _py_shingles(text), (doc_id, text)
