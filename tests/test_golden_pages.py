@@ -13,11 +13,13 @@ and the miss-path fallback mint for {{...}} references (members/awards were
 wiki-links the 2017 run resolved over HTTP; with no snapshot rows the minted
 IRI must equal the published one).
 
-The William Gibson golden is NOT triple-compared: its bibliography shape
-(dbo:Novel used as predicate) predates the current reference mapper.py
+The William Gibson golden is not FULLY triple-compared: its bibliography
+shape (dbo:Novel used as predicate) predates the current reference mapper.py
 (lines 899-910 emit dbo:author + dbo:literaryGenre), so full agreement is
-impossible for any faithful implementation of today's code; its URI-encoding
-lexicals are covered by tests/test_extractors.py.
+impossible for any faithful implementation of today's code.  Its
+shape-INVARIANT slice — every subject IRI and every dbo:activeYear
+gYear/gYearMonth literal — IS compared (test_gibson_subjects_and_years...),
+anchoring a second published page.
 """
 
 import re
@@ -180,6 +182,61 @@ def test_turtle_sink_roundtrips_through_golden_parser(tmp_path):
     p = tmp_path / "out.ttl"
     p.write_text(to_turtle(sorted(triples)), encoding="utf-8")
     assert parse_turtle(str(p)) == triples
+
+
+# -- William Gibson: shape-invariant slice of the 2017 golden ----------------
+# The golden's bibliography TRIPLE SHAPE predates the current reference code
+# (genre-as-predicate, see module docstring), but two things are invariant
+# across both shapes and still published in the file: the SUBJECT IRIs (all
+# encoding quirks) and the dbo:activeYear gYear/gYearMonth literals.  Both are
+# asserted here from a span reconstruction.
+
+GOLDEN_GIBSON = "/root/reference/extracted/ListExtractor_William_Gibson_en_2017_07_12.ttl"
+
+_GIBSON_WORKS = [
+    ("Neuromancer", "1984"), ("Count Zero", "1986"), ("Mona Lisa Overdrive", "1988"),
+    ("Virtual Light", "1993"), ("Idoru", "1996"),
+    ("All Tomorrow's Parties (novel)", "1999"), ("Pattern Recognition (novel)", "2003"),
+    ("Spook Country", "2007"), ("Zero History", "2010"), ("The Peripheral", "2014"),
+    ("The Difference Engine", "1990"), ("Bridge trilogy", None),
+    ("Sprawl trilogy", None), ("Hubertus Bigend", None),
+    ("Johnny Mnemonic", "1981"), ("Burning Chrome", "1982"),
+    ("Burning Chrome (short story collection)", "1986"),
+    ("New Rose Hotel", "1981"), ("The Winter Market", "November 1985"),
+    ("Skinner's Room", "November 1991"), ("Red Star, Winter Orbit", "1983"),
+    ("Dogfight (short story)", "1985"), ("Hinterlands (short story)", "1981"),
+    ("Fragments of a Hologram Rose", "1977"), ("The Gernsback Continuum", "1981"),
+    ("The Belonging Kind", "1981"), ("Agrippa (A Book of the Dead)", "1992"),
+    ("Distrust That Particular Flavor", "2012"), ("Wired (magazine)", "1993"),
+]
+
+
+def gibson_spans():
+    spans = [("section:0", "Bibliography", "", 0), ("section:1", "Novels", "", 1)]
+    for i, (title, year) in enumerate(_GIBSON_WORKS):
+        text = f"''{title}'' ({year})" if year else f"''{title}''"
+        spans.append(("list_item:1", text, "", i + 2))
+    return spans
+
+
+def test_gibson_subjects_and_years_match_committed_golden():
+    got, _ = extract_document(
+        "William_Gibson", "Writer", "en", gibson_spans(), NULL_LINKER
+    )
+    golden = parse_turtle(GOLDEN_GIBSON)
+    got_subjects = {s for (s, _p, _o, _dt) in got}
+    golden_subjects = {s for (s, _p, _o, _dt) in golden}
+    assert got_subjects == golden_subjects, (
+        sorted(got_subjects - golden_subjects)[:5],
+        sorted(golden_subjects - got_subjects)[:5],
+    )
+    year_pred = DBO + "activeYear"
+    got_years = {t for t in got if t[1] == year_pred}
+    golden_years = {t for t in golden if t[1] == year_pred}
+    assert got_years == golden_years, (
+        sorted(got_years - golden_years)[:5],
+        sorted(golden_years - got_years)[:5],
+    )
 
 
 def test_golden_parser_roundtrip_counts():
