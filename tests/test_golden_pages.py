@@ -24,7 +24,12 @@ anchoring a second published page.
 
 import re
 
-from list_extractor_spark.core.extractors import RDF_TYPE, XSD_GYEAR, XSD_GYEARMONTH
+from list_extractor_spark.core.extractors import (
+    RDF_TYPE,
+    XSD_GYEAR,
+    XSD_GYEARMONTH,
+    XSD_STRING,
+)
 from list_extractor_spark.core.links import NULL_LINKER
 from list_extractor_spark.core.mappers import extract_document
 
@@ -55,6 +60,8 @@ def _obj_term(tok: str):
             return lex[:4], XSD_GYEAR
         if dt == "gYearMonth":  # "1985-11" -> "1985-11-01"
             return lex[:7], XSD_GYEARMONTH
+        if dt == "string":
+            return lex, XSD_STRING
         raise NotImplementedError(dt)
     return _term(tok), None
 
@@ -303,6 +310,125 @@ def test_taylor_swift_triples_match_committed_golden():
     got_norm = parse_turtle(f.name)
     want = parse_turtle(GOLDEN_SWIFT)
     assert got_norm == want, (sorted(got_norm - want)[:8], sorted(want - got_norm)[:8])
+
+
+# -- NTU: representative-subset parity (EducationalInstitution family) -------
+# Wiki-linked people appear in the golden with CLEAN minted IRIs (the {{...}}
+# miss path strips the braces before minting and the profession tail is read
+# from the brace-mutated element); plain-text people keep their whole tail in
+# the IRI (general_mapper) — both forms below, including the double-space
+# fossil in Dr_Khoo_Seow_Hwa__-_... .
+
+GOLDEN_NTU = (
+    "/root/reference/extracted/"
+    "ListExtractor_Nanyang_Technological_University_en_2017_08_25.ttl"
+)
+
+_NTU_ALUMNI = [
+    "{{Alan Tern}} - actor",
+    "{{Azmoon Ahmad}}",
+    "{{C Kunalan}}",
+    "{{Calvin Kang Li Loong}} - National Sprinter",
+    "{{Dipna Lim Prasad}} - National Hurdler",
+    "Dr Khoo Seow Hwa  - Renowned calligrapher.",
+]
+_NTU_STAFF = [
+    "{{Anthony Gordon Fane}}",
+    "{{Balazs Gulyas}}",
+    "{{Bertil Andersson}}",
+    "{{Christopher G. Newhall}}",
+    "{{Daniela Rhodes}}",
+]
+
+
+def ntu_spans():
+    spans = [("section:0", "Notable alumni", "", 0)]
+    off = 1
+    for item in _NTU_ALUMNI:
+        spans.append(("list_item:1", item, "", off))
+        off += 1
+    spans.append(("section:0", "Staff", "", off))
+    off += 1
+    for item in _NTU_STAFF:
+        spans.append(("list_item:1", item, "", off))
+        off += 1
+    return spans
+
+
+def test_ntu_subset_matches_committed_golden():
+    got, _ = extract_document(
+        "Nanyang_Technological_University",
+        "EducationalInstitution",
+        "en",
+        ntu_spans(),
+        NULL_LINKER,
+    )
+    golden = parse_turtle(GOLDEN_NTU)
+    got_subjects = {s for (s, _p, _o, _dt) in got}
+    golden_restricted = {t for t in golden if t[0] in got_subjects}
+    assert got == golden_restricted, (
+        sorted(got - golden_restricted)[:8],
+        sorted(golden_restricted - got)[:8],
+    )
+    assert len(got_subjects) == len(_NTU_ALUMNI) + len(_NTU_STAFF)
+
+
+# -- Elon Musk: honors-family subset (Person: M9 sticky status, for/from) ----
+
+GOLDEN_MUSK = "/root/reference/extracted/ListExtractor_Elon_Musk_en_2017_06_23.ttl"
+
+_MUSK_AWARD_ITEMS = [  # section "Awards" -> status Winner (sticky from item 1)
+    "Won {{Royal Aeronautical Society}} gold medal 2012",
+    "Won {{National Space Society}} Von Braun Trophy 2008 for Burt Rutan",
+    "Won {{National Space Society}} Von Braun Trophy 2009 for Burt Rutan",
+]
+_MUSK_HONOUR_ITEMS = [  # section "Honours" -> status HonoraryDegree (sticky)
+    "Honorary doctorate in {{Aerospace Engineering}} 2009",
+    "Honorary doctorate in {{Aerospace Engineering}} 2015",
+    "Honorary degree, from Art Center College of Design",
+    "Honorary degree, from University of Surrey",
+    "Honorary degree from {{Yale University}} 2015",
+]
+
+
+def musk_spans():
+    spans, off = [("section:0", "Awards", "", 0)], 1
+    for it in _MUSK_AWARD_ITEMS:
+        spans.append(("list_item:1", it, "", off))
+        off += 1
+    spans.append(("section:0", "Honours", "", off))
+    off += 1
+    for it in _MUSK_HONOUR_ITEMS:
+        spans.append(("list_item:1", it, "", off))
+        off += 1
+    return spans
+
+
+def test_musk_honors_subset_matches_committed_golden():
+    """Anchors M9 end-to-end against the published file: sticky award status
+    per section (Winner vs HonoraryDegree), AwardedFor from the ' for ' tail,
+    AwardedBy from the ' from ' tail (linked and plain), year merging across
+    items on one award subject, and the comma-stop general fallback
+    (dbr:Honorary_degree).  One documented drift: the 2017 run minted the
+    AwardedBy SUBJECT in dbr:, today's reference mapper.py:583 uses dbo: —
+    rewritten before comparing."""
+    got, _ = extract_document(
+        "Elon_Musk", "Person", "en", musk_spans(), NULL_LINKER
+    )
+    awarded_by = DBO + "AwardedBy"
+    got = {
+        ((DBR + s[len(DBO):]) if p == awarded_by and s.startswith(DBO) else s, p, o, dt)
+        for (s, p, o, dt) in got
+    }
+    golden = parse_turtle(GOLDEN_MUSK)
+    got_subjects = {s for (s, _p, _o, _dt) in got}
+    golden_restricted = {t for t in golden if t[0] in got_subjects}
+    assert got == golden_restricted, (
+        sorted(got - golden_restricted)[:8],
+        sorted(golden_restricted - got)[:8],
+    )
+    statuses = {o for (_s, p, o, _dt) in got if p == DBO + "awardStatus"}
+    assert statuses == {DBO + "Winner", DBO + "HonoraryDegree"}
 
 
 def test_golden_parser_roundtrip_counts():
