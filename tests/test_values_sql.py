@@ -1,0 +1,48 @@
+"""values_sql (fixtures/contract_oracle.py) is the mechanism behind every
+VALUES-literal oracle; a single mis-escaped string would silently corrupt the
+driver's hash gate.  Property: arbitrary rows round-trip through DuckDB
+byte-identically — quotes, backslashes, newlines, NULs are the interesting
+cases (DuckDB string literals are standard-conforming: backslash is literal,
+quote doubles)."""
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+
+from list_extractor_spark.fixtures.contract_oracle import values_sql
+
+text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=40,
+)
+row = st.tuples(text, st.integers(-(2**31), 2**31 - 1), st.booleans(),
+                st.one_of(st.none(), text))
+
+
+@given(st.lists(row, max_size=25))
+@settings(max_examples=60, deadline=None)
+def test_values_sql_roundtrips_through_duckdb(rows):
+    sql = values_sql(
+        rows,
+        [("s", "VARCHAR"), ("i", "INTEGER"), ("b", "BOOLEAN"), ("n", "VARCHAR")],
+    )
+    got = duckdb.sql(sql).fetchall()
+    assert sorted(map(tuple, got), key=repr) == sorted(rows, key=repr)
+
+
+def test_values_sql_nasty_literals():
+    rows = [
+        ("it's", 1, True, None),
+        ('quote " double', -1, False, "x"),
+        ("back\\slash", 0, True, "\\n is literal"),
+        ("new\nline\tand tab", 2**31 - 1, False, "''"),
+        ("-- not a comment", -(2**31), True, "/* nor this */"),
+    ]
+    sql = values_sql(rows, [("s", "VARCHAR"), ("i", "INTEGER"),
+                            ("b", "BOOLEAN"), ("n", "VARCHAR")])
+    assert sorted(duckdb.sql(sql).fetchall()) == sorted(rows)
+
+
+def test_values_sql_empty_rows():
+    sql = values_sql([], [("a", "VARCHAR"), ("b", "BIGINT")])
+    out = duckdb.sql(sql)
+    assert out.fetchall() == [] and [d[0] for d in out.description] == ["a", "b"]
