@@ -52,41 +52,94 @@ def canonical_map_df(
     if n_edges <= driver_threshold:
         from ..core.canonical import canonical_map
 
-        parent = {r["uri"]: r["parent"] for r in edges.collect()}  # dict: last wins
+        # deterministic min-parent on duplicate-source edges: dirty redirect
+        # dumps must resolve identically on both paths (the distributed path
+        # below dedupes the same way)
+        parent: dict = {}
+        for r in edges.collect():
+            u, p = r["uri"], r["parent"]
+            if u not in parent or p < parent[u]:
+                parent[u] = p
         cmap = sorted(canonical_map(parent).items())
         return edges.sparkSession.createDataFrame(
             cmap, schema="uri string, canonical string"
         )
+    # dedupe duplicate-source edges (min parent) BEFORE iterating: without it
+    # a uri with two parents fans out into two pointer rows that never merge,
+    # and the fast path above would disagree
+    edges = edges.groupBy("uri").agg(F.min("parent").alias("parent"))
     parts = max(1, min(int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
                        n_edges // 50_000 + 1))
     cur = edges.select("uri", F.col("parent").alias("canonical")).repartition(parts)
     converged = False
-    for _ in range(max_iters):
-        nxt = (
-            cur.alias("a")
-            .join(
-                cur.select(
-                    F.col("uri").alias("p_uri"), F.col("canonical").alias("p_canonical")
-                ).alias("b"),
-                F.col("a.canonical") == F.col("b.p_uri"),
-                "left",
+    total_rounds = 0
+    while not converged:
+        for _ in range(max_iters):
+            nxt = (
+                cur.alias("a")
+                .join(
+                    cur.select(
+                        F.col("uri").alias("p_uri"), F.col("canonical").alias("p_canonical")
+                    ).alias("b"),
+                    F.col("a.canonical") == F.col("b.p_uri"),
+                    "left",
+                )
+                .select(
+                    F.col("a.uri").alias("uri"),
+                    F.coalesce("b.p_canonical", "a.canonical").alias("canonical"),
+                    (F.col("b.p_canonical").isNotNull()
+                     & (F.col("b.p_canonical") != F.col("a.canonical"))).alias("changed"),
+                )
+                .localCheckpoint(eager=True)  # truncate lineage each round
             )
-            .select(
-                F.col("a.uri").alias("uri"),
-                F.coalesce("b.p_canonical", "a.canonical").alias("canonical"),
-                (F.col("b.p_canonical").isNotNull()
-                 & (F.col("b.p_canonical") != F.col("a.canonical"))).alias("changed"),
-            )
-            .localCheckpoint(eager=True)  # truncate lineage each round
-        )
-        n_changed = nxt.filter("changed").limit(1).count()
-        cur = nxt.drop("changed")
-        if n_changed == 0:
-            converged = True
+            n_changed = nxt.filter("changed").limit(1).count()
+            cur = nxt.drop("changed")
+            total_rounds += 1
+            if n_changed == 0:
+                converged = True
+                break
+        if converged:
             break
-    if not converged:
-        cur = _collapse_cycles(cur, edges, max_iters)
+        # Non-convergence after 2^total_rounds steps means cycles OR chains
+        # longer than 2^total_rounds.  Min-collapse is only correct when the
+        # surviving-pointer subgraph is a PERMUTATION (pure disjoint cycles);
+        # a long acyclic chain — or a cycle with a longer-than-2^r tail —
+        # also fails to converge, and collapsing it would pick a mid-chain
+        # minimum instead of the true sink / cycle-min.  Keep doubling until
+        # the survivors are pure cycles (r > longest tail) or convergence.
+        if _pointers_are_pure_cycles(cur, edges):
+            cur = _collapse_cycles(cur, edges, max_iters)
+            break
+        if total_rounds >= 60:  # 2^60-step chains cannot exist in real data
+            raise RuntimeError(
+                "canonical_map_df: pointer doubling did not converge and the "
+                "surviving subgraph is not a permutation after "
+                f"{total_rounds} rounds"
+            )
     return cur.filter(F.col("uri") != F.col("canonical"))
+
+
+def _pointers_are_pure_cycles(cur: DataFrame, edges: DataFrame) -> bool:
+    """True iff the surviving (non-terminated) pointer set P, restricted to
+    the edge function, is a permutation of itself: CLOSED (every p in P maps
+    into P) and INJECTIVE (no two P-members share a parent).  A finite
+    functional graph that is a bijection on itself is exactly a disjoint
+    union of cycles — the precondition for _collapse_cycles."""
+    srcs = edges.select("uri").distinct()
+    ptrs = (
+        cur.join(srcs.select(F.col("uri").alias("canonical")), "canonical", "left_semi")
+        .select(F.col("canonical").alias("uri"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sub = edges.join(ptrs, "uri", "left_semi")
+    escaping = sub.join(
+        ptrs.select(F.col("uri").alias("parent")), "parent", "left_anti"
+    )
+    if escaping.limit(1).count() > 0:
+        return False
+    collisions = sub.groupBy("parent").count().filter(F.col("count") > 1)
+    return collisions.limit(1).count() == 0
 
 
 def _collapse_cycles(cur: DataFrame, edges: DataFrame, max_iters: int) -> DataFrame:
@@ -107,7 +160,10 @@ def _collapse_cycles(cur: DataFrame, edges: DataFrame, max_iters: int) -> DataFr
         .select("uri", F.col("parent").alias("ptr"),
                 F.least("uri", "parent").alias("mval"))
     )
-    for _ in range(max_iters):
+    # min-propagation is monotone (mval only decreases), so this always
+    # converges in ceil(log2(longest cycle)) rounds; cap well past any
+    # physically possible cycle length rather than at max_iters
+    for _ in range(max(max_iters, 60)):
         nxt = (
             state.alias("a")
             .join(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import re
+from decimal import ROUND_HALF_UP, Decimal
 
 from ..core.canonical import build_edges, canonical_map
 from ..core.links import DeferredLinker, split_sentinel
@@ -30,6 +31,16 @@ from .oracle import oracle_triples
 KG_DOCS = 96
 KG_HUB_EVERY = 48
 KG_HUB_ITEMS = 120
+
+
+def _round_half_up(value: float, ndigits: int) -> float:
+    """Round matching Spark's F.round on doubles: BigDecimal.valueOf uses the
+    double's SHORTEST decimal repr (== python repr), then HALF_UP.  Python's
+    builtin round() is half-to-even on the binary value, which diverges on
+    exactly-representable dyadic ties (e.g. 1/128 -> 0.007812 vs Spark's
+    0.007813) — a data-dependent driver-hash break."""
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(repr(value)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _sql_lit(v) -> str:
@@ -133,25 +144,41 @@ def kg_accuracy_rows():
         g[4] += n_triples
     out = []
     for key, (n_docs, s, i, e, t) in sorted(groups.items()):
-        acc = round(e / i, 6) if i else None
+        acc = _round_half_up(e / i, 6) if i else None
         out.append((key, n_docs, s, i, e, t, acc))
     return out
 
 
 def stream_extract_rows():
-    """Expected rows of the streaming extract+link flow: per-doc extraction
-    with the fully-resolved snapshot linker (the stream's deferred-sentinel +
-    broadcast-join path resolves to exactly this — parity-tested batch-side)."""
-    from .oracle import snapshot_linker
+    """Expected rows of the streaming extract+link flow, generated the way the
+    stream actually computes them: per-doc extraction with the DeferredLinker
+    (so the per-doc set-dedup happens over SENTINEL subjects, pre-resolution),
+    then sentinel resolution replicating engine/linking.resolve_links —
+    coalesce(dbpedia, wikidata, minted fallback).  Resolving FIRST and
+    dedupping after (the previous form) under-counts whenever a minted subject
+    collides with a resolved link on the same (pred, obj)."""
+    from ..core.extractors import dbr_ns, list_elem_clean
+    from ..core.mappers import _mint
 
     snaps = make_snapshots()
-    linker = snapshot_linker(snaps)
+    linker = DeferredLinker(_linkable_keys(snaps))
+    mi = {(lang, s): w for (lang, s, w, r) in snaps["mention_index"] if r == 1}
+    sa = dict(snaps["sameas"])
     out = []
     for d in _fixture_docs():
         triples, _ = extract_document(
             d["doc_id"], [d["res_class"]], d["lang"], _doc_spans(d), linker
         )
-        out.extend((d["doc_id"], s, p, o, dt) for s, p, o, dt in triples)
+        for s, p, o, dt in triples:
+            hit = split_sentinel(s)
+            if hit is not None:
+                ll, ls = hit
+                wk = mi.get((ll, ls))
+                if wk is not None:
+                    s = sa.get(wk, wk)
+                else:  # rank!=1-only key: the join misses -> minted fallback
+                    s = _mint(list_elem_clean(ls), dbr_ns(ll))
+            out.append((d["doc_id"], s, p, o, dt))
     return sorted(out, key=lambda r: tuple("" if v is None else v for v in r))
 
 
@@ -298,7 +325,7 @@ def minhash_lsh_rows(sf_dir: str, k: int = 16, bands: int = 4, threshold: float 
     for a, b in cand:
         sa, sb = shingle_sets[a], shingle_sets[b]
         common = len(sa & sb)
-        j = round(common / (len(sa) + len(sb) - common), 6)
+        j = _round_half_up(common / (len(sa) + len(sb) - common), 6)
         if j >= threshold:
             out.append((a, b, j))
     return sorted(out)

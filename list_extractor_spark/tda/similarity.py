@@ -155,11 +155,15 @@ def cosine_near_dup_pairs(
         sims = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= threshold
+        kept = sims[ia[keep], ib[keep]]
+        # round half-AWAY-FROM-ZERO to match DuckDB round() / Spark F.round
+        # (np.round is half-to-even: dyadic 4-decimal ties would diverge from
+        # the SQL oracle data-dependently)
         return pd.DataFrame(
             {
                 "id_a": ids[ia[keep]],
                 "id_b": ids[ib[keep]],
-                "cos_sim": np.round(sims[ia[keep], ib[keep]], 4),
+                "cos_sim": np.copysign(np.floor(np.abs(kept) * 1e4 + 0.5) / 1e4, kept),
             }
         )
 

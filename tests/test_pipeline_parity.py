@@ -149,6 +149,48 @@ def test_canonicalization_random_digraphs(spark, seed):
     assert got == want, (seed, sorted(got ^ want)[:6])
 
 
+def test_canonicalization_chains_longer_than_doubling_budget(spark):
+    """An acyclic chain (and a cycle with a tail) LONGER than 2^max_iters must
+    still resolve to the true sink / cycle-min: non-convergence alone does not
+    mean 'pure cycles', so the doubling loop must keep going until the
+    surviving pointers form a permutation before min-collapsing."""
+    from list_extractor_spark.core.canonical import canonical_map
+    from list_extractor_spark.engine.canonicalize import canonical_map_df
+
+    parent = {f"c{i:03d}": f"c{i + 1:03d}" for i in range(40)}  # chain -> c040
+    parent.update({f"t{i:02d}": f"t{i + 1:02d}" for i in range(20)})  # tail
+    parent["t20"] = "cycB"  # tail enters a 3-cycle
+    parent.update({"cycB": "cycC", "cycC": "cycA", "cycA": "cycB"})
+    edges = spark.createDataFrame(
+        sorted(parent.items()), schema="uri string, parent string"
+    )
+    # max_iters=2 -> only 4-step advancement per doubling batch; both the
+    # 40-chain and the 21-tail rho exceed it
+    got = {
+        (r["uri"], r["canonical"])
+        for r in canonical_map_df(edges, max_iters=2, driver_threshold=0).collect()
+    }
+    want = set(canonical_map(parent).items())
+    assert got == want, sorted(got ^ want)[:6]
+
+
+def test_canonicalization_duplicate_source_edges_deterministic(spark):
+    """A uri with several outgoing edges (dirty redirect dump) resolves via
+    the MIN parent on BOTH the driver fast path and the distributed path."""
+    from list_extractor_spark.core.canonical import canonical_map
+    from list_extractor_spark.engine.canonicalize import canonical_map_df
+
+    rows = [("X", "B"), ("X", "A"), ("A", "S1"), ("B", "S2"), ("Y", "X")]
+    edges = spark.createDataFrame(rows, schema="uri string, parent string")
+    want = set(canonical_map({"X": "A", "A": "S1", "B": "S2", "Y": "X"}).items())
+    for threshold in (100_000, 0):
+        got = {
+            (r["uri"], r["canonical"])
+            for r in canonical_map_df(edges, driver_threshold=threshold).collect()
+        }
+        assert got == want, (threshold, sorted(got ^ want))
+
+
 def test_resume_reproduces_identical_triples(spark, corpus, snapshots, documents_df, tmp_path):
     run_dir = str(tmp_path / "run")
     first = _collect_triples(
