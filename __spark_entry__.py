@@ -322,10 +322,16 @@ def _sim_lsh_topk(spark, sf_dir):
 
 
 def _sim_ivf_topk(spark, sf_dir):
-    # IVF ANN: deterministic Lloyd coarse quantizer + nprobe cell probe
+    # IVF ANN, scale serving shape: deterministic Lloyd coarse quantizer,
+    # cells materialized ONCE partitioned by centroid_id, probe = partition-
+    # pruned scan of nprobe cell dirs (mirrors _sim_lsh_topk)
     emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     cents = similarity.kmeans_centroids(emb, k=16, iters=5, sample=4096)
-    return similarity.ivf_topk(emb, cents, _query_vector(sf_dir), k=10, nprobe=2)
+    path = f"/tmp/spark_graft_ivf_cells_{os.path.basename(sf_dir.rstrip('/'))}"
+    similarity.write_ivf_cells(emb, cents, path)
+    return similarity.ivf_topk_partitioned(
+        spark, path, cents, _query_vector(sf_dir), k=10, nprobe=2
+    )
 
 
 def _sim_near_dup(spark, sf_dir):

@@ -222,13 +222,21 @@ def lloyd_centroids(vectors, k: int = 16, iters: int = 5):
     return [[float(v) for v in c] for c in cents]
 
 
-def ivf_assign(embeddings: DataFrame, centroids) -> DataFrame:
-    """(vec_id, centroid_id): nearest centroid by L2, computed as
-    argmin(-2 e·c + ||c||^2) with one numpy matmul per Arrow batch."""
+def ivf_assign(embeddings: DataFrame, centroids, keep_embedding: bool = False) -> DataFrame:
+    """(vec_id, centroid_id[, embedding]): nearest centroid by L2, computed as
+    argmin(-2 e·c + ||c||^2) with one numpy matmul per Arrow batch.
+
+    ``keep_embedding=True`` carries the vector through the same narrow pass —
+    the cell-build path (write_ivf_cells / ivf_topk) uses it so assignment
+    needs NO join back to the corpus (a vec_id equi-join would shuffle the
+    full embedding table)."""
     import numpy as np
     import pandas as pd
 
     cents = [list(map(float, c)) for c in centroids]
+    schema = "vec_id long, centroid_id int" + (
+        ", embedding array<float>" if keep_embedding else ""
+    )
 
     def run(batches):
         c = np.array(cents, dtype="float64")
@@ -236,11 +244,12 @@ def ivf_assign(embeddings: DataFrame, centroids) -> DataFrame:
         for pdf in batches:
             x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             assign = (-2.0 * (x @ c.T) + c_norm2).argmin(axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "centroid_id": assign.astype("int32")})
+            out = {"vec_id": pdf["vec_id"], "centroid_id": assign.astype("int32")}
+            if keep_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        run, schema="vec_id long, centroid_id int"
-    )
+    return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=schema)
 
 
 def ivf_probe_centroids(query, centroids, nprobe: int = 2):
@@ -255,16 +264,42 @@ def ivf_probe_centroids(query, centroids, nprobe: int = 2):
 
 def ivf_topk(embeddings: DataFrame, centroids, query, k: int = 10,
              nprobe: int = 2) -> DataFrame:
-    """IVF ANN top-k: score only vectors assigned to the nprobe nearest
-    centroids.  At scale the corpus is written partitioned by centroid_id
-    (same pattern as write_bucketed_embeddings) so a probe reads nprobe
-    partition directories; here assignment fuses into the probe scan."""
+    """One-shot IVF ANN top-k: score only vectors assigned to the nprobe
+    nearest centroids.  Assignment carries the vector through the SAME narrow
+    mapInPandas pass and the probe is a plain filter on centroid_id — no join
+    back to the corpus, no broadcast of a membership set (the previous form
+    broadcast ~nprobe/k of the corpus' vec_ids per probe: an OOM at 10^9
+    vectors).  For repeated probes use write_ivf_cells + ivf_topk_partitioned
+    so the full-corpus assignment scan is paid once, not per query."""
     probe = ivf_probe_centroids(query, centroids, nprobe)
-    assigned = ivf_assign(embeddings, centroids)
-    in_cells = embeddings.join(
-        F.broadcast(assigned.filter(F.col("centroid_id").isin(probe)).select("vec_id")),
-        "vec_id",
-        "left_semi",
+    in_cells = (
+        ivf_assign(embeddings, centroids, keep_embedding=True)
+        .filter(F.col("centroid_id").isin(probe))
+        .drop("centroid_id")
+    )
+    return brute_force_topk(in_cells, query, k)
+
+
+def write_ivf_cells(embeddings: DataFrame, centroids, path: str) -> None:
+    """Materialize the corpus ONCE as parquet partitioned by IVF cell.
+
+    The ANN serving path at scale (twin of write_bucketed_embeddings for the
+    hyperplane-LSH index): the full-corpus assignment scan is paid at build
+    time, and every subsequent probe reads exactly nprobe partition
+    directories via Catalyst partition pruning — never the corpus."""
+    cells = ivf_assign(embeddings, centroids, keep_embedding=True)
+    cells.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_topk_partitioned(spark, path: str, centroids, query, k: int = 10,
+                         nprobe: int = 2) -> DataFrame:
+    """Probe a materialized IVF index: partition-pruned scan of the nprobe
+    nearest cells -> exact cosine top-k inside them."""
+    probe = ivf_probe_centroids(query, centroids, nprobe)
+    in_cells = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(probe))
+        .drop("centroid_id")
     )
     return brute_force_topk(in_cells, query, k)
 

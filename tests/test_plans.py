@@ -72,9 +72,11 @@ def test_dedup_is_single_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
 
 
-def test_ivf_probe_joins_are_not_sort_merge(spark):
-    """The IVF probe must stay broadcast (semi-join of the probe-cell id set
-    against the corpus), never a corpus-wide sort-merge."""
+def test_ivf_probe_is_filter_not_join(spark):
+    """The one-shot IVF probe must be a plain centroid_id filter over the
+    assignment pass — no semi-join of a membership set back against the
+    corpus (the set is ~nprobe/k of the corpus: an unbroadcastable OOM at
+    scale), and never a corpus-wide sort-merge."""
     from list_extractor_spark.tda import similarity
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -83,7 +85,27 @@ def test_ivf_probe_joins_are_not_sort_merge(spark):
     cents = similarity.kmeans_centroids(rest, k=8, iters=2, sample=256)
     plan = _plan(similarity.ivf_topk(rest, cents, query, k=5, nprobe=2))
     assert "SortMergeJoin" not in plan
+    assert "LeftSemi" not in plan  # the removed per-probe membership join
     assert "TakeOrderedAndProject" in plan  # top-k without a global sort
+
+
+def test_ivf_partitioned_probe_is_partition_pruned(spark, tmp_path):
+    """The materialized-cell probe must show Catalyst partition pruning on
+    centroid_id (the serving path reads nprobe dirs, not the corpus)."""
+    from list_extractor_spark.tda import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    cents = similarity.kmeans_centroids(rest, k=8, iters=2, sample=256)
+    path = str(tmp_path / "cells")
+    similarity.write_ivf_cells(rest, cents, path)
+    probe = similarity.ivf_probe_centroids(query, cents, nprobe=2)
+    plan = _plan(
+        spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
+    )
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200], plan
 
 
 def test_simhash_pairs_candidate_join_no_sort_merge(spark):

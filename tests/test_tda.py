@@ -143,6 +143,32 @@ def test_ivf_finds_planted_copy_and_is_partition_invariant(spark):
     assert a1 == a8
 
 
+def test_ivf_partitioned_matches_oneshot_and_finds_planted(spark, tmp_path):
+    """write_ivf_cells + ivf_topk_partitioned (the serving path) must return
+    exactly what the one-shot ivf_topk computes, and recall a planted copy."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planted = spark.createDataFrame(
+        [(999999, query, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    rest = emb.filter(F.col("vec_id") != 0).unionByName(planted)
+    cents = similarity.kmeans_centroids(rest, k=8, iters=3, sample=512)
+    path = str(tmp_path / "cells")
+    similarity.write_ivf_cells(rest, cents, path)
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_topk_partitioned(
+            spark, path, cents, query, k=5, nprobe=2
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_topk(rest, cents, query, k=5, nprobe=2).collect()
+    ]
+    assert got == want
+    assert got[0][0] == 999999  # the planted exact copy ranks first
+
+
 def test_fingerprint_ignores_punctuation(spark):
     df = spark.createDataFrame(
         [("a", "Hello, World!"), ("b", "hello world")], "doc_id string, text string"
