@@ -268,10 +268,13 @@ def _dedup_minhash_lsh(spark, sf_dir):
 
 
 def _dedup_simhash(spark, sf_dir):
+    # bits=64 (xxhash64 path): 16-bit pigeonhole chunks at max_hamming=3, the
+    # width that keeps banding sub-quadratic at 10^8+ docs
     return dedup.simhash_fingerprints(
         _load(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("string").alias("doc_id"), "text"
-        )
+        ),
+        bits=64,
     )
 
 
@@ -280,7 +283,7 @@ def _dedup_simhash_pairs(spark, sf_dir):
         _load(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("string").alias("doc_id"), "text"
         ),
-        bits=32,
+        bits=64,
         max_hamming=3,
     )
 

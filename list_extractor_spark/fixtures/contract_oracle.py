@@ -259,7 +259,7 @@ def kg_spanified_rows(sf_dir: str):
 # Deterministic functions of Spark's murmur3 (fixtures/spark_hash.py mirrors
 # it bit-for-bit), so the oracle is generated pure-Python + plain SQL.
 
-from .spark_hash import hash_int, hash_str  # noqa: E402
+from .spark_hash import hash_int, hash_str, xxh64_str  # noqa: E402
 
 
 def _sf_documents(sf_dir: str):
@@ -287,14 +287,19 @@ def _py_shingles(text: str, n: int = 3):
 
 
 def simhash_fp_rows(sf_dir: str, bits: int = 32):
+    """Mirrors tda/dedup.simhash_fingerprints: murmur3 votes at bits<=32,
+    xxhash64 votes above (both replicated bit-for-bit in spark_hash.py)."""
+    hash_fn = hash_str if bits <= 32 else xxh64_str
     rows = []
     for doc_id, text in _sf_documents(sf_dir):
         votes = [0] * bits
         for tok in _py_tokens(text):
-            h = hash_str(tok) & ((1 << bits) - 1)
+            h = hash_fn(tok) & ((1 << bits) - 1)
             for i in range(bits):
                 votes[i] += 1 if (h >> i) & 1 else -1
         fp = sum(1 << i for i in range(bits) if votes[i] > 0)
+        if fp & (1 << 63):  # Spark's simhash column is a signed long
+            fp -= 1 << 64
         rows.append((doc_id, fp))
     return sorted(rows)
 
@@ -445,8 +450,9 @@ def ivf_topk_sql(sf_dir: str, k_cents: int = 16, iters: int = 5,
 
 
 def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
+    # bits=64 (the xxhash64 path) — the driver queries run the same width
     fp_values = values_sql(
-        simhash_fp_rows(sf_dir), [("doc_id", "VARCHAR"), ("simhash", "BIGINT")]
+        simhash_fp_rows(sf_dir, bits=64), [("doc_id", "VARCHAR"), ("simhash", "BIGINT")]
     )
     return {
         "dedup_simhash": fp_values,

@@ -86,6 +86,123 @@ def hash_str(s: str, seed: int = 42) -> int:
     return hash_bytes(s.encode("utf-8"), seed)
 
 
+# -- XxHash64 (Spark's F.xxhash64) --------------------------------------------
+# Spark's XxHash64 expression is the public xxHash 64-bit algorithm (Yann
+# Collet, BSD; Spark's port in org.apache.spark.sql.catalyst.expressions.XXH64)
+# with the same Spark-specific seed chaining as F.hash and default seed 42.
+# Tail bytes are consumed UNSIGNED (& 0xFF), unlike murmur3's signed tails.
+
+_M64 = 0xFFFFFFFFFFFFFFFF
+_P64_1 = 0x9E3779B185EBCA87
+_P64_2 = 0xC2B2AE3D27D4EB4F
+_P64_3 = 0x165667B19E3779F9
+_P64_4 = 0x85EBCA77C2B2AE63
+_P64_5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P64_2) & _M64
+    return (_rotl64(acc, 31) * _P64_1) & _M64
+
+
+def _xxh_merge(h: int, v: int) -> int:
+    h ^= _xxh_round(0, v)
+    return (h * _P64_1 + _P64_4) & _M64
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _to_signed64(x: int) -> int:
+    return x - (1 << 64) if x & (1 << 63) else x
+
+
+def xxh64_bytes(data: bytes, seed: int) -> int:
+    """XXH64.hashUnsafeBytes (Spark string/binary columns)."""
+    seed &= _M64
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P64_1 + _P64_2) & _M64
+        v2 = (seed + _P64_2) & _M64
+        v3 = seed
+        v4 = (seed - _P64_1) & _M64
+        while i + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = _xxh_merge(h, v)
+    else:
+        h = (seed + _P64_5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xxh_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * _P64_1 + _P64_4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P64_1) & _M64
+        h = (_rotl64(h, 23) * _P64_2 + _P64_3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P64_5) & _M64
+        h = (_rotl64(h, 11) * _P64_1) & _M64
+        i += 1
+    return _to_signed64(_xxh_fmix(h))
+
+
+def xxh64_long(value: int, seed: int) -> int:
+    """XXH64.hashLong (Spark long columns)."""
+    seed &= _M64
+    h = (seed + _P64_5 + 8) & _M64
+    h ^= (_rotl64((value & _M64) * _P64_2 & _M64, 31) * _P64_1) & _M64
+    h = (_rotl64(h, 27) * _P64_1 + _P64_4) & _M64
+    return _to_signed64(_xxh_fmix(h))
+
+
+def xxh64_int(value: int, seed: int) -> int:
+    """XXH64.hashInt (Spark int/short/byte/boolean columns)."""
+    seed &= _M64
+    h = (seed + _P64_5 + 4) & _M64
+    h ^= ((value & 0xFFFFFFFF) * _P64_1) & _M64
+    h = (_rotl64(h, 23) * _P64_2 + _P64_3) & _M64
+    return _to_signed64(_xxh_fmix(h))
+
+
+def xxh64_str(s: str, seed: int = 42) -> int:
+    return xxh64_bytes(s.encode("utf-8"), seed)
+
+
+def spark_xxhash64(*values, seed: int = 42) -> int:
+    """F.xxhash64(*cols) for str/int values: seed chains across arguments
+    exactly like F.hash."""
+    h = seed
+    for v in values:
+        if isinstance(v, str):
+            h = xxh64_str(v, h)
+        elif isinstance(v, int):
+            if -(1 << 31) <= v < (1 << 31):
+                h = xxh64_int(v, h)
+            else:
+                h = xxh64_long(v, h)
+        else:
+            raise TypeError(type(v))
+    return h
+
+
 def spark_hash(*values, seed: int = 42) -> int:
     """F.hash(*cols) for str/int values: seed chains across arguments.
     Python ints are hashed as Spark INT when they fit, else LONG — pass

@@ -234,9 +234,25 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(documents: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash: per-token hash votes on each bit, sign of the vote sum forms
     the fingerprint.  Pure DataFrame: explode tokens, unpack bits with
-    shiftright/bitwise-and, aggregate votes, repack."""
+    shiftright/bitwise-and, aggregate votes, repack.
+
+    Hash source by width: bits<=32 uses murmur3 (F.hash, 32-bit output);
+    wider fingerprints use F.xxhash64 — murmur3 CANNOT supply bits 32-63
+    (sign-extension garbage), and at 10^8+ docs 32-bit fingerprints make the
+    pigeonhole bands (bits/(max_hamming+1) chunk width) too narrow: 8-bit
+    chunks give 256 bucket values, so bucket populations grow linearly with
+    the corpus and the candidate join quadratically within them.  64-bit
+    fingerprints keep 16-bit chunks (65536 values) at max_hamming=3."""
+    if bits > 64:
+        raise ValueError(f"simhash bits must be <= 64, got {bits}")
+    if bits > 32:
+        h = F.xxhash64("tok")  # full 64-bit hash
+        if bits < 64:
+            h = h.bitwiseAND(F.lit((1 << bits) - 1))
+    else:
+        h = F.hash("tok").cast("long").bitwiseAND(F.lit((1 << bits) - 1))
     toks = documents.select("doc_id", F.explode(_tokens()).alias("tok")).withColumn(
-        "h", F.hash("tok").cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        "h", h
     )
     votes = toks.select(
         "doc_id",
@@ -245,10 +261,16 @@ def simhash_fingerprints(documents: DataFrame, bits: int = 32) -> DataFrame:
             for i in range(bits)
         ],
     ).groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
+    # repack via shiftleft(1L, i): a python literal 1 << 63 would overflow the
+    # signed-long literal; shiftleft wraps to the sign bit as intended
+    one = F.lit(1).cast("long")
     fp = votes.select(
         "doc_id",
         sum(
-            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)],
+            [
+                F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0))
+                for i in range(bits)
+            ],
             F.lit(0),
         ).cast("long").alias("simhash"),
     )

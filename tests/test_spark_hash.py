@@ -1,5 +1,5 @@
-"""fixtures/spark_hash.py must equal Spark's F.hash bit-for-bit — the
-minhash/simhash contract oracles are generated from it."""
+"""fixtures/spark_hash.py must equal Spark's F.hash AND F.xxhash64
+bit-for-bit — the minhash/simhash contract oracles are generated from it."""
 
 from pyspark.sql import functions as F
 
@@ -7,11 +7,19 @@ from list_extractor_spark.fixtures.spark_hash import (
     hash_int,
     hash_long,
     spark_hash,
+    spark_xxhash64,
+    xxh64_int,
+    xxh64_long,
+    xxh64_str,
 )
 
 STRINGS = ["hello", "", "a", "abcd", "abcde", "ünïcødé ©", "x" * 100, "a b\tc"]
 INTS = [0, 1, -1, 2**31 - 1, -(2**31), 12345]
 LONGS = [0, 2**40, -5, 2**63 - 1, -(2**63)]
+# every xxh64 code path: empty, <4, 4..7 (one 4-byte word), 8..31 (8-byte
+# words + tails), exactly 32 (one stripe), >32 with every tail size
+XXH_STRINGS = STRINGS + ["abcdefgh", "abcdefghijk", "y" * 31, "y" * 32,
+                         "y" * 33, "y" * 36, "y" * 40, "y" * 41, "日本語テスト🎸"]
 
 
 def test_string_hash_matches_spark(spark):
@@ -29,6 +37,27 @@ def test_int_and_long_hash_match_spark(spark):
     assert [r[0] for r in dl.select(F.hash("l")).collect()] == [
         hash_long(v, 42) for v in LONGS
     ]
+
+
+def test_xxhash64_string_matches_spark(spark):
+    df = spark.createDataFrame([(s,) for s in XXH_STRINGS], "s string")
+    got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    assert got == [xxh64_str(s) for s in XXH_STRINGS]
+
+
+def test_xxhash64_int_long_and_chaining_match_spark(spark):
+    di = spark.createDataFrame([(i,) for i in INTS], "i int")
+    assert [r[0] for r in di.select(F.xxhash64("i")).collect()] == [
+        xxh64_int(i, 42) for i in INTS
+    ]
+    dl = spark.createDataFrame([(v,) for v in LONGS], "l long")
+    assert [r[0] for r in dl.select(F.xxhash64("l")).collect()] == [
+        xxh64_long(v, 42) for v in LONGS
+    ]
+    df = spark.createDataFrame([("en", "foo", 7)], "a string, b string, c int")
+    assert df.select(F.xxhash64("a", "b", "c")).first()[0] == spark_xxhash64(
+        "en", "foo", 7
+    )
 
 
 def test_chained_multi_arg_hash_matches_spark(spark):

@@ -98,6 +98,41 @@ def test_simhash_pairs_finds_near_duplicate(spark, docs):
         assert h <= 4
 
 
+def test_simhash_64bit_matches_replica_and_finds_dups(spark, docs):
+    """bits=64 takes the xxhash64 path: fingerprints must equal the pure-
+    Python replica (the oracle generator) bit-for-bit, identical docs must
+    collide, and the banded pair finder must work at 16-bit chunks."""
+    from list_extractor_spark.fixtures.contract_oracle import _py_tokens
+    from list_extractor_spark.fixtures.spark_hash import xxh64_str
+
+    sub = docs.filter(F.col("doc_id").isin("0", "dup_exact", "dup_near"))
+    fps = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash_fingerprints(sub, bits=64).collect()}
+    assert fps["0"] == fps["dup_exact"]
+
+    def replica(text):
+        votes = [0] * 64
+        for tok in _py_tokens(text):
+            h = xxh64_str(tok) & ((1 << 64) - 1)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        fp = sum(1 << i for i in range(64) if votes[i] > 0)
+        return fp - (1 << 64) if fp & (1 << 63) else fp
+
+    texts = {r["doc_id"]: r["text"] for r in sub.collect()}
+    for doc_id, fp in fps.items():
+        assert fp == replica(texts[doc_id]), doc_id
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(sub, bits=64, max_hamming=3).collect()}
+    assert pairs.get(("0", "dup_exact")) == 0
+
+
+def test_simhash_rejects_width_beyond_64(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_fingerprints(docs, bits=65)
+
+
 def test_simhash_pairs_respects_hamming_radius(spark):
     rows = [("a", "alpha beta gamma delta epsilon zeta eta theta"),
             ("b", "alpha beta gamma delta epsilon zeta eta theta"),
