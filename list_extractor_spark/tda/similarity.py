@@ -54,31 +54,40 @@ def brute_force_topk(embeddings: DataFrame, query, k: int = 10) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
-def hyperplane_buckets(embeddings: DataFrame, planes) -> DataFrame:
+def hyperplane_buckets(
+    embeddings: DataFrame, planes, keep_embedding: bool = False
+) -> DataFrame:
     """Random-hyperplane LSH bucket per vector: sign bit per plane packed into
-    an int.  planes are seeded constants (make_planes), shipped as a broadcast
-    (plane_id, dim_idx, pval) table — dot products run as one codegen'd join +
-    aggregation, no interpreted lambda math."""
-    spark = embeddings.sparkSession
-    pdf = spark.createDataFrame(
-        [
-            (p, i, float(v))
-            for p, plane in enumerate(planes)
-            for i, v in enumerate(plane)
-        ],
-        schema="plane_id int, dim_idx int, pval double",
+    an int, computed as ONE numpy matmul per Arrow batch (mapInPandas) — a
+    narrow plan with zero shuffle.
+
+    The previous relational form (posexplode -> broadcast-join the plane
+    table -> two groupBys) pushed N·d·P intermediate rows through codegen
+    plus a shuffle the matmul doesn't need; this is the same shape as
+    ivf_assign, the measured-fast inner loop of both ANN index builds.
+
+    ``keep_embedding=True`` carries the vector through the pass so the index
+    builders (write_bucketed_embeddings, cosine_near_dup_pairs_lsh) need no
+    vec_id join back to the corpus."""
+    import numpy as np
+
+    pl = [list(map(float, p)) for p in planes]
+    schema = "vec_id long, bucket long" + (
+        ", embedding array<float>" if keep_embedding else ""
     )
-    return (
-        _exploded(embeddings)
-        .join(F.broadcast(pdf), "dim_idx")
-        .groupBy("vec_id", "plane_id")
-        .agg(F.sum(F.col("val") * F.col("pval")).alias("dot"))
-        .groupBy("vec_id")
-        .agg(
-            # SQL form: the Python shiftleft() wrapper takes only int literals
-            F.sum(F.expr("if(dot > 0, shiftleft(1, plane_id), 0)")).alias("bucket")
-        )
-    )
+
+    def run(batches):
+        p = np.array(pl, dtype="float64").T  # dim x n_planes
+        weights = (np.int64(1) << np.arange(len(pl), dtype="int64"))
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            bucket = (((x @ p) > 0) * weights).sum(axis=1)
+            out = {"vec_id": pdf["vec_id"], "bucket": bucket}
+            if keep_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=schema)
 
 
 def query_bucket(query, planes) -> int:
@@ -95,11 +104,10 @@ def lsh_topk(embeddings: DataFrame, query, planes, k: int = 10) -> DataFrame:
     query's LSH bucket.  One-shot form — every probe recomputes the corpus
     buckets, so for repeated probes use write_bucketed_embeddings +
     lsh_topk_bucketed (partition-pruned scan) instead."""
-    buckets = hyperplane_buckets(embeddings, planes)
-    in_bucket = embeddings.join(
-        buckets.filter(F.col("bucket") == query_bucket(query, planes)).select("vec_id"),
-        "vec_id",
-        "left_semi",
+    in_bucket = (
+        hyperplane_buckets(embeddings, planes, keep_embedding=True)
+        .filter(F.col("bucket") == query_bucket(query, planes))
+        .drop("bucket")
     )
     return brute_force_topk(in_bucket, query, k)
 
@@ -111,7 +119,7 @@ def write_bucketed_embeddings(embeddings: DataFrame, planes, path: str) -> None:
     is paid at build time; every probe afterwards reads exactly one
     partition directory (Catalyst partition pruning on bucket=<q>), not the
     corpus.  2^n_planes directories; pick n_planes so a bucket ~ one task."""
-    with_bucket = embeddings.join(hyperplane_buckets(embeddings, planes), "vec_id")
+    with_bucket = hyperplane_buckets(embeddings, planes, keep_embedding=True)
     with_bucket.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
@@ -182,7 +190,7 @@ def cosine_near_dup_pairs_lsh(
     the quadratic term, one numpy matmul per bucket.  Recall = pairs whose
     members share all hyperplane signs; more planes -> smaller blocks, lower
     recall (standard LSH trade)."""
-    with_bucket = embeddings.join(hyperplane_buckets(embeddings, planes), "vec_id")
+    with_bucket = hyperplane_buckets(embeddings, planes, keep_embedding=True)
     return cosine_near_dup_pairs(with_bucket, threshold=threshold, block_col="bucket")
 
 
