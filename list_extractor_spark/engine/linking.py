@@ -9,22 +9,59 @@ a broadcast-hash join against the sameAs snapshot:
 
 Skew: hub mentions ("List of ..." pages link the same few entities millions of
 times) make hot join keys.  With a broadcast build side there is no shuffle so
-key skew costs nothing; the optional ``salt`` path demonstrates the shuffled
-variant for when the index outgrows the broadcast threshold: the probe side
-gets a random salt column, the build side is exploded K ways, and AQE
-skew-join splitting handles the residue.
+key skew costs nothing; the ``salt`` path is the shuffled variant for when the
+index outgrows the broadcast threshold: the probe side gets a deterministic
+salt column, the build side is exploded K ways, and AQE skew-join splitting
+handles the residue.  ``salt=None`` (the default) picks the regime by SIZE:
+the rank-1 index row count is bounded-counted against
+spark.sql.autoBroadcastJoinThreshold, the same adaptive pattern as
+canonicalize.canonical_map_df — nothing silently broadcasts an index that
+outgrew its snapshot.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# salt width for the auto-selected shuffled path: wide enough to split a hub
+# key across a whole executor wave, small enough that exploding the build side
+# K ways stays cheap relative to the probe
+AUTO_SALT = 8
+# conservative per-row estimate for (lang, surface, wikidata_uri) strings in
+# the broadcast hash relation (JVM object overhead included)
+_EST_BYTES_PER_ROW = 96
+
+
+def _parse_size_bytes(v) -> int:
+    s = str(v).strip().lower()
+    for suf, mult in (("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2),
+                      ("kb", 1024), ("t", 1024**4), ("g", 1024**3),
+                      ("m", 1024**2), ("k", 1024), ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * mult
+    return int(float(s))
+
+
+def _auto_salt(idx: DataFrame) -> int:
+    """0 (broadcast) while the rank-1 index fits the broadcast threshold,
+    AUTO_SALT past it.  The count is LIMIT-bounded: it scans at most one row
+    past the budget, never the full index."""
+    conf = idx.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    )
+    threshold = _parse_size_bytes(conf)
+    if threshold <= 0:  # broadcast disabled outright
+        return AUTO_SALT
+    row_budget = max(1, threshold // _EST_BYTES_PER_ROW)
+    n = idx.limit(row_budget + 1).count()
+    return AUTO_SALT if n > row_budget else 0
+
 
 def resolve_links(
     candidates: DataFrame,
     mention_index: DataFrame,
     sameas: DataFrame,
-    salt: int = 0,
+    salt: int | None = None,
 ) -> DataFrame:
     """candidates (with link_lang/link_surface on deferred rows) -> triples
     (doc_id, subj, pred, obj, obj_dt) with sentinels resolved.
@@ -32,7 +69,10 @@ def resolve_links(
     ONE left join, no candidate split: rows without a link key have a null
     link_surface, which matches nothing, so coalesce keeps their minted subj.
     Splitting into linked/direct branches would make a lazy plan compute the
-    upstream extract stage twice (each branch re-reads it)."""
+    upstream extract stage twice (each branch re-reads it).
+
+    ``salt``: None = size-adaptive (see _auto_salt); 0/1 = force broadcast;
+    >1 = force the salted shuffled-hash path with that many shards."""
     # top-1 semantics of the reference's wbsearchentities result (mapper.py:1566):
     # the snapshot carries a rank column; keep rank-1 rows only.
     idx = mention_index.filter(F.col("rank") == 1).select(
@@ -41,6 +81,9 @@ def resolve_links(
         "wikidata_uri",
     )
     sa = sameas.select("wikidata_uri", "dbpedia_uri")
+
+    if salt is None:
+        salt = _auto_salt(idx)
 
     if salt > 1:
         # Shuffled-hash path with salting for when the index exceeds broadcast:

@@ -57,7 +57,7 @@ class Pipeline:
         self,
         spark: SparkSession,
         run_dir: str | None = None,
-        salt: int = 0,
+        salt: int | None = None,  # None = size-adaptive link join
         skew_repartition: bool = False,
     ):
         self.spark = spark
@@ -170,7 +170,7 @@ def run_pipeline(
     snapshots: dict,
     run_dir: str | None = None,
     canonicalize: bool = True,
-    salt: int = 0,
+    salt: int | None = None,
     skew_repartition: bool = False,
     use_page_types: bool = False,
 ) -> DataFrame:

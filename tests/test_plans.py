@@ -37,6 +37,36 @@ def test_link_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_link_join_auto_switches_to_salted_past_threshold(spark):
+    """Size-adaptive regime: when the rank-1 mention index exceeds the
+    broadcast budget, the default (salt=None) path must pick the salted
+    shuffled-hash join — visible as the mi_salt machinery in the plan — and
+    produce exactly the triples the forced-broadcast path produces."""
+    from list_extractor_spark.engine.linking import AUTO_SALT, _auto_salt
+
+    snaps = make_snapshots()
+    mi, sa, rd = snapshots_to_dfs(spark, snaps)
+    docs = spark.createDataFrame(
+        corpus_to_rows(make_corpus(6, hub_every=0)), schema=DOCUMENTS_SCHEMA
+    )
+    keys = {(r["lang"], r["surface"]) for r in mi.select("lang", "surface").collect()}
+    cand = extract_candidates(resolve_redirects(docs, rd), linkable_keys=keys)
+    idx = mi.filter(F.col("rank") == 1)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # default budget: tiny fixture index -> broadcast regime
+        assert _auto_salt(idx) == 0
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        assert _auto_salt(idx) == AUTO_SALT
+        auto = resolve_links(cand, mi, sa)  # salt=None -> salted under 1-byte budget
+        assert "mi_salt" in _plan(auto)
+        got = sorted(map(tuple, auto.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    want = sorted(map(tuple, resolve_links(cand, mi, sa, salt=0).collect()))
+    assert got == want
+
+
 def test_redirect_join_is_broadcast(spark):
     snaps = make_snapshots()
     _, _, rd = snapshots_to_dfs(spark, snaps)
