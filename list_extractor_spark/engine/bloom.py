@@ -41,12 +41,18 @@ class BloomSet:
 
     @staticmethod
     def positions(lang: str, surface: str, k: int, m_bits: int):
+        # blake2b stays the key hash: hashlib is C-accelerated, and this runs
+        # per mention lookup inside the extract UDF (the hot path) — a pure-
+        # Python JVM-hash replica there would cost more than it saves at
+        # build time.  The double-hash accumulator wraps at 64 bits so the
+        # numpy-vectorized builder (uint64 arithmetic) computes identical
+        # positions.
         d = hashlib.blake2b(
             lang.encode("utf-8") + b"\x00" + surface.encode("utf-8"), digest_size=16
         ).digest()
         h1 = int.from_bytes(d[:8], "little")
         h2 = int.from_bytes(d[8:], "little") | 1
-        return [(h1 + i * h2) % m_bits for i in range(k)]
+        return [((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % m_bits for i in range(k)]
 
     def __contains__(self, key) -> bool:
         lang, surface = key
@@ -84,11 +90,30 @@ def build_bloom(keys: DataFrame, fpp: float = 1e-8) -> BloomSet:
     n_bytes = m_bits // 8
 
     def partition_bitmap(batches):
+        # per-key python work is ONE C-level blake2b call; positions and
+        # bit-setting are vectorized (k positions per key via uint64
+        # broadcasting, duplicate-safe np.bitwise_or.at) — ~20x faster than
+        # the per-position python loop at 10^5+ keys per partition
         bits = np.zeros(n_bytes, dtype=np.uint8)
+        ii = np.arange(k, dtype=np.uint64)
+        blake2b = hashlib.blake2b
         for pdf in batches:
-            for lang, surface in zip(pdf["lang"], pdf["surface"]):
-                for pos in BloomSet.positions(lang, surface, k, m_bits):
-                    bits[pos >> 3] |= np.uint8(1 << (pos & 7))
+            if not len(pdf):
+                continue
+            digests = b"".join(
+                blake2b(
+                    lang.encode("utf-8") + b"\x00" + surface.encode("utf-8"),
+                    digest_size=16,
+                ).digest()
+                for lang, surface in zip(pdf["lang"], pdf["surface"])
+            )
+            raw = np.frombuffer(digests, dtype="<u8").reshape(-1, 2)
+            h1, h2 = raw[:, 0], raw[:, 1] | np.uint64(1)
+            # uint64 wraparound == the (& 2^64-1) in BloomSet.positions
+            pos = (h1[:, None] + ii[None, :] * h2[:, None]) % np.uint64(m_bits)
+            byte_idx = (pos >> np.uint64(3)).astype(np.int64).ravel()
+            masks = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)).ravel()
+            np.bitwise_or.at(bits, byte_idx, masks)
         yield pd.DataFrame({"bm": [bits.tobytes()]})
 
     def or_reduce(batches):
