@@ -32,9 +32,9 @@ _STATE_SCHEMA = "first_doc_id string, n_seen long"
 
 
 def _dedup_fn(
-    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: Tuple[str, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    (text_hash,) = key
+    text_hash = key[0]  # salted mode keys by (text_hash, shard)
     if state.exists:
         first_doc_id, n_seen = state.get
     else:
@@ -55,21 +55,51 @@ def _dedup_fn(
     yield pd.DataFrame(out)
 
 
-def streaming_exact_dedup(docs_stream: DataFrame) -> DataFrame:
+def streaming_exact_dedup(docs_stream: DataFrame, salt: int = 1) -> DataFrame:
     """documents stream -> per-doc kept/duplicate verdicts with cross-batch
-    state.  Hash computed JVM-side; state partitioned by hash, so duplicate
-    storms of one viral document hit one state partition — at scale pair this
-    with the same salting strategy as the link join."""
+    state.  Hash computed JVM-side; state partitioned by hash.
+
+    ``salt=1`` (default): exact global semantics — one state key per hash,
+    per-doc ``n_seen`` is the global arrival rank.  A duplicate STORM (one
+    viral document repeated millions of times per batch) then lands on a
+    single state partition/task.
+
+    ``salt>1``: the hot-key form — the state key becomes (text_hash, shard)
+    with shard = xxhash64(doc_id) mod salt, spreading a storm across ``salt``
+    tasks with O(1) state per shard.  Verdicts are then per-shard (kept /
+    first_doc_id / n_seen within the shard; at most ``salt`` rows per hash
+    are kept=true), and ``merge_salted_verdicts`` is the second-stage batch
+    merge over the append sink that restores group-level truth.  A global
+    per-doc sequential rank is exactly what sharding removes — pipelines that
+    need it must run unsalted."""
     hashed = docs_stream.select(
         F.md5(F.concat_ws("\x00", F.transform("spans", lambda s: s["text"]))).alias(
             "text_hash"
         ),
         F.col("doc_id").cast("string").alias("doc_id"),
     )
-    return hashed.groupBy("text_hash").applyInPandasWithState(
+    if salt > 1:
+        hashed = hashed.withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(salt)).cast("int")
+        )
+        keyed = hashed.groupBy("text_hash", "shard")
+    else:
+        keyed = hashed.groupBy("text_hash")
+    return keyed.applyInPandasWithState(
         _dedup_fn,
         outputStructType=DEDUP_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_salted_verdicts(verdicts: DataFrame) -> DataFrame:
+    """Second-stage merge for ``salt>1`` output (batch pass over the sink):
+    per-hash totals — deterministic representative (min of the shard firsts)
+    and the exact duplicate count (every incoming doc emitted exactly one
+    verdict row regardless of sharding)."""
+    return verdicts.groupBy("text_hash").agg(
+        F.min("first_doc_id").alias("first_doc_id"),
+        F.count("*").alias("n_docs"),
     )

@@ -109,3 +109,56 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     copy = out[f"copy_of_{rows[0][0]}"]
     assert copy["kept"] is False and copy["n_seen"] >= 2
     assert sum(1 for r in out.values() if r["kept"]) == len(rows)
+
+
+def test_stateful_dedup_salted_duplicate_storm(spark, tmp_path):
+    """Hot-key form: one viral document repeated across batches must spread
+    over `salt` state shards (bounded per-shard state, at most `salt` kept
+    rows for the hash) while merge_salted_verdicts restores exact group
+    totals and the deterministic representative."""
+    from list_extractor_spark.streaming.stateful import (
+        merge_salted_verdicts,
+        streaming_exact_dedup,
+    )
+
+    viral = make_corpus(1, hub_every=0)
+    (vid, vlang, vcls, vspans) = corpus_to_rows(viral)[0]
+    n_copies, salt = 5000, 8
+    in_dir = str(tmp_path / "storm")
+    # two micro-batches (separate files), the storm split across both
+    for b in range(2):
+        rows = [(f"storm_{b}_{i:05d}", vlang, vcls, vspans)
+                for i in range(b * n_copies // 2, (b + 1) * n_copies // 2)]
+        spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_exact_dedup(stream, salt=salt)
+        .writeStream.format("memory")
+        .queryName("sstorm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "stormckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    out = spark.sql("select * from sstorm").collect()
+    assert len(out) == n_copies  # one verdict per incoming doc
+    assert len({r["text_hash"] for r in out}) == 1
+    kept = [r for r in out if r["kept"]]
+    firsts = {r["first_doc_id"] for r in out}
+    # per-shard state is bounded: at most `salt` shard-firsts / kept rows
+    assert 1 < len(kept) <= salt
+    assert firsts == {r["doc_id"] for r in kept}
+    # shards partition the storm: per-shard ranks sum to the total
+    assert sum(max(r["n_seen"] for r in out if r["first_doc_id"] == f) for f in firsts) == n_copies
+    merged = merge_salted_verdicts(spark.sql("select * from sstorm")).collect()
+    assert len(merged) == 1
+    assert merged[0]["n_docs"] == n_copies
+    assert merged[0]["first_doc_id"] == min(firsts)
