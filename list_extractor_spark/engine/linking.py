@@ -27,9 +27,6 @@ from pyspark.sql import DataFrame, functions as F
 # key across a whole executor wave, small enough that exploding the build side
 # K ways stays cheap relative to the probe
 AUTO_SALT = 8
-# conservative per-row estimate for (lang, surface, wikidata_uri) strings in
-# the broadcast hash relation (JVM object overhead included)
-_EST_BYTES_PER_ROW = 96
 
 
 def _parse_size_bytes(v) -> int:
@@ -42,19 +39,46 @@ def _parse_size_bytes(v) -> int:
     return int(float(s))
 
 
+# conservative per-row estimate for (lang, surface, wikidata_uri) strings in
+# the broadcast hash relation (JVM object overhead included); used only on
+# the unknown-stats fallback path
+_EST_BYTES_PER_ROW = 96
+# LogicalRDD etc. report defaultSizeInBytes = Long.MaxValue; anything this
+# large means "Catalyst has no estimate", not "the index is 4 EiB"
+_UNKNOWN_STATS = 1 << 62
+_SALT_CACHE: dict = {}
+
+
 def _auto_salt(idx: DataFrame) -> int:
     """0 (broadcast) while the rank-1 index fits the broadcast threshold,
-    AUTO_SALT past it.  The count is LIMIT-bounded: it scans at most one row
-    past the budget, never the full index."""
+    AUTO_SALT past it.
+
+    Sized from Catalyst's own optimizedPlan statistics (sizeInBytes) — the
+    statistic Spark's broadcast planner itself consults — so for file-backed
+    snapshots (the production shape) the decision costs ZERO extra jobs.
+    Plans with no estimate (python createDataFrame -> LogicalRDD reports
+    Long.MaxValue) fall back to a LIMIT-bounded count, memoized per
+    (optimized plan, threshold) because even a tiny count job costs ~0.5 s of
+    scheduler latency on a busy driver — repeated pipeline runs over the same
+    index pay it once."""
     conf = idx.sparkSession.conf.get(
         "spark.sql.autoBroadcastJoinThreshold", "10485760"
     )
     threshold = _parse_size_bytes(conf)
     if threshold <= 0:  # broadcast disabled outright
         return AUTO_SALT
-    row_budget = max(1, threshold // _EST_BYTES_PER_ROW)
-    n = idx.limit(row_budget + 1).count()
-    return AUTO_SALT if n > row_budget else 0
+    plan = idx._jdf.queryExecution().optimizedPlan()
+    size = int(plan.stats().sizeInBytes())
+    if size < _UNKNOWN_STATS:
+        return AUTO_SALT if size > threshold else 0
+    key = (plan.toString(), threshold)
+    if key not in _SALT_CACHE:
+        if len(_SALT_CACHE) > 64:
+            _SALT_CACHE.clear()
+        row_budget = max(1, threshold // _EST_BYTES_PER_ROW)
+        n = idx.limit(row_budget + 1).count()
+        _SALT_CACHE[key] = AUTO_SALT if n > row_budget else 0
+    return _SALT_CACHE[key]
 
 
 def resolve_links(
