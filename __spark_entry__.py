@@ -300,6 +300,16 @@ def _text_quality(spark, sf_dir):
     return textstats.quality_scores(_load(spark, sf_dir, "documents"))
 
 
+def _text_winnow_fingerprint(spark, sf_dir):
+    # rolling-hash winnowing (MOSS): partial-overlap fingerprints, folded to
+    # a per-doc (set size, xor) signature so the oracle VALUES stays compact
+    return textstats.winnow_signatures(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+    )
+
+
 def _query_vector(sf_dir):
     import duckdb
 
@@ -504,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
+        "text_winnow_fingerprint": _text_winnow_fingerprint,
         "sim_topk": _sim_topk,
         "sim_lsh_topk": _sim_lsh_topk,
         "sim_ivf_topk": _sim_ivf_topk,

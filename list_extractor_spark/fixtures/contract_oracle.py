@@ -336,6 +336,28 @@ def minhash_lsh_rows(sf_dir: str, k: int = 16, bands: int = 4, threshold: float 
     return sorted(out)
 
 
+def winnow_signature_rows(sf_dir: str, k: int = 8, w: int = 4):
+    """Mirrors tda/textstats.winnow_posting + winnow_signatures: lower +
+    ASCII-whitespace collapse, char k-grams hashed with xxhash64, min per
+    w-window (full windows only), distinct set -> (n, xor-fold)."""
+    rows = []
+    for doc_id, text in _sf_documents(sf_dir):
+        t = re.sub("[ \t\n\x0b\f\r]+", " ", text.lower())
+        if len(t) < k:
+            continue
+        hs = [xxh64_str(t[i : i + k]) for i in range(len(t) - k + 1)]
+        sel = {min(hs[i - w + 1 : i + 1]) for i in range(w - 1, len(hs))}
+        if not sel:
+            continue
+        acc = 0
+        for h in sel:
+            acc ^= h & 0xFFFFFFFFFFFFFFFF
+        if acc & (1 << 63):
+            acc -= 1 << 64
+        rows.append((doc_id, len(sel), acc))
+    return sorted(rows)
+
+
 def _plane_sql(plane) -> str:
     return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
 
@@ -468,6 +490,10 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
         "dedup_minhash_lsh": values_sql(
             minhash_lsh_rows(sf_dir),
             [("doc_a", "VARCHAR"), ("doc_b", "VARCHAR"), ("jaccard", "DOUBLE")],
+        ),
+        "text_winnow_fingerprint": values_sql(
+            winnow_signature_rows(sf_dir),
+            [("doc_id", "VARCHAR"), ("n_fp", "BIGINT"), ("fp_xor", "BIGINT")],
         ),
         "sim_lsh_topk": lsh_topk_sql(sf_dir),
         "sim_near_dup_lsh": near_dup_lsh_sql(),

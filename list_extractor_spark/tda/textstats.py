@@ -1,10 +1,12 @@
 """Text-analysis operators: language ID, quality scoring, token counting,
-document fingerprinting.  All JVM-side expressions (regexp/length/split) so
-they stay inside whole-stage codegen; every one has an ANSI-SQL oracle."""
+document fingerprinting (normalized hash + rolling-hash winnowing).  All
+JVM-side expressions (regexp/length/split/window) so they stay inside
+whole-stage codegen; every one has a DuckDB oracle (ANSI SQL or a generated
+VALUES literal from the bit-exact python hash replicas)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # language -> marker words for the n-gram/stopword heuristic (deterministic
 # CASE logic; SQL-expressible for the DuckDB oracle)
@@ -80,4 +82,52 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         F.md5(F.regexp_replace(F.lower("text"), r"[^a-z0-9]", "")).alias("fingerprint"),
+    )
+
+
+# ASCII whitespace class shared with the python oracle replica (java \s)
+_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def winnow_posting(documents: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """(doc_id, fp) rows: rolling-hash winnowing fingerprints (the MOSS
+    algorithm, Schleimer/Wilkerson/Aiken SIGMOD'03) — the partial-overlap
+    dedup primitive exact hashing can't provide.
+
+    Normalize (lower, collapse ASCII whitespace) -> character k-grams ->
+    xxhash64 per gram -> minimum over each w-gram sliding window -> distinct
+    selected hashes per document.  Guarantees any shared substring of length
+    >= k + w - 1 contributes a shared fingerprint.
+
+    Plan shape: explode(sequence) + substring + xxhash64 are whole-stage
+    codegen; the only shuffle is the per-doc window (partitionBy doc_id),
+    the same single-exchange shape as shingle_posting.  No interpreted HOFs:
+    the k-gram transform is explode-then-substring, not transform()."""
+    t = F.regexp_replace(F.lower("text"), _WS, " ")
+    d = documents.select("doc_id", t.alias("t")).filter(F.length("t") >= k)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
+        F.col("t"),
+    ).select("doc_id", "pos", F.xxhash64(F.expr(f"substring(t, pos, {k})")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    return (
+        grams.select("doc_id", "pos", F.min("h").over(win).alias("fp"))
+        .filter(F.col("pos") >= w)  # full windows only (standard winnowing)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnow_signatures(documents: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Compact per-document winnowing signature: fingerprint-set size and the
+    xor-fold of the set (order-insensitive, collision-resistant enough for a
+    change-detection key; the posting form above serves similarity joins)."""
+    return (
+        winnow_posting(documents, k, w)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.bit_xor("fp").alias("fp_xor"),
+        )
     )

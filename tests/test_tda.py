@@ -264,3 +264,25 @@ def test_media_features_shapes(spark):
 def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG", "image")
+
+
+def test_winnow_fingerprints_detect_partial_overlap(spark):
+    """Winnowing guarantee: any shared substring of length >= k+w-1 yields a
+    shared fingerprint, so partially-overlapping docs intersect strongly and
+    unrelated docs barely at all."""
+    shared = "the quick brown fox jumps over the lazy dog multiple times"
+    rows = [("a", "Intro alpha. " + shared + " Ending one."),
+            ("b", "Other beta.  " + shared + " Different close."),
+            ("c", "completely unrelated content with zero overlap whatsoever here")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    fps = {d: set() for d in "abc"}
+    for r in textstats.winnow_posting(df).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert all(fps.values())
+    overlap_ab = len(fps["a"] & fps["b"]) / min(len(fps["a"]), len(fps["b"]))
+    overlap_ac = len(fps["a"] & fps["c"]) / min(len(fps["a"]), len(fps["c"]))
+    assert overlap_ab > 0.4 > overlap_ac
+    # the compact signature agrees with the posting set
+    sigs = {r["doc_id"]: r["n_fp"]
+            for r in textstats.winnow_signatures(df).collect()}
+    assert sigs == {d: len(s) for d, s in fps.items()}
