@@ -45,7 +45,10 @@ def main():
     ap.add_argument("--snapshots", help="dir with mention_index/sameas/redirects parquet")
     ap.add_argument("--output", required=True, help="output graph parquet dir")
     ap.add_argument("--run-dir", default=None, help="checkpoint dir (enables resume)")
-    ap.add_argument("--salt", type=int, default=0, help="link-join salt factor")
+    ap.add_argument(
+        "--salt", type=int, default=None,
+        help="link-join salt factor (default: size-adaptive; 0 forces broadcast)",
+    )
     ap.add_argument("--skew-repartition", action="store_true")
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument("--turtle", default=None, help="also write a .ttl parity file")

@@ -162,3 +162,17 @@ def test_bloom_build_plan_has_no_global_collect_of_rows(spark):
     ).repartition(8)
     bloom = build_bloom(keys)
     assert ("en", "s3") in bloom and ("en", "absent") not in bloom
+
+
+def test_winnow_posting_is_single_shuffle_jvm_only(spark):
+    """Winnowing must stay whole-stage codegen (no python workers, no
+    interpreted HOFs) with exactly one exchange (the per-doc window)."""
+    from list_extractor_spark.tda import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).limit(50)
+    plan = _plan(textstats.winnow_posting(docs))
+    assert "mapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "transform(" not in plan  # explode+substring, not interpreted HOF
+    assert plan.count("Exchange") <= 2  # window shuffle (+ distinct reuses it)
