@@ -78,3 +78,27 @@ def test_shingle_replica_matches_spark(spark):
         got[r["doc_id"]].add(r["sh"])
     for doc_id, text in rows:
         assert got[doc_id] == _py_shingles(text), (doc_id, text)
+
+
+def test_round_half_up_matches_spark_and_duckdb_on_dyadic_ties(spark):
+    """Python round() is half-to-even; Spark F.round and DuckDB round() are
+    half-up on the shortest decimal repr.  The oracle generators must use the
+    half-up replica or dyadic ties (1/128 at 6 decimals, 1/16 at 4) break the
+    driver hash data-dependently."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from list_extractor_spark.fixtures.contract_oracle import _round_half_up
+
+    ties = [1 / 128, 3 / 128, 1 / 2048, 0.0000005, 0.1234565, 1.5e-06]
+    df = spark.createDataFrame([(v,) for v in ties], "v double")
+    spark_vals = [r[0] for r in df.select(F.round("v", 6)).collect()]
+    duck_vals = [
+        float(duckdb.sql(f"select round(CAST({v!r} AS DOUBLE), 6)").fetchone()[0])
+        for v in ties
+    ]
+    ours = [_round_half_up(v, 6) for v in ties]
+    assert spark_vals == ours
+    assert duck_vals == ours
+    # the builtin would disagree on at least one of these
+    assert [round(v, 6) for v in ties] != ours
