@@ -27,6 +27,7 @@ from list_extractor_spark.fixtures.contract_oracle import (  # noqa: E402
     KG_HUB_ITEMS,
     hash_engine_oracle_sql,
     kg_oracle_sql,
+    media_plumbing_oracle_sql,
 )
 from list_extractor_spark.sources.spanify import spanify_documents  # noqa: E402
 from list_extractor_spark.tda import dedup, multimodal, similarity, textstats  # noqa: E402
@@ -484,6 +485,23 @@ def _media_features(spark, sf_dir):
     ).withColumn("val", F.col("val").cast("double"))
 
 
+def _media_resize(spark, sf_dir):
+    # Arrow-batched resize slot: binary in -> fixed-size binary out; the
+    # checksum column stands in for the raw bytes (binary is not hashable by
+    # the driver's canonicalizer)
+    resized = multimodal.resize_media(
+        multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
+    )
+    return resized.select("doc_id", "media_type", "width", "height", "checksum")
+
+
+def _media_frames(spark, sf_dir):
+    # frame sampling: 1->N output shape inside mapInPandas, video rows only
+    return multimodal.sample_frames(
+        multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (span corpus synthesized per input_hint; rows-only checks)
@@ -522,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_lsh": _sim_near_dup_lsh,
         "media_stats": _media_stats,
         "media_features": _media_features,
+        "media_resize": _media_resize,
+        "media_frames": _media_frames,
         # streaming
         "stream_kg_extract": _stream_kg_extract,
         "stream_windowed_events": _stream_windowed_events,
@@ -725,4 +745,7 @@ def oracle_sql() -> dict[str, str]:
         # are deterministic functions of Spark's murmur3, mirrored bit-for-bit
         # in fixtures/spark_hash.py -> generated VALUES/SQL oracles
         **hash_engine_oracle_sql(_oracle_sf_dir()),
+        # media resize/frame-sample plumbing: deterministic fakes over the
+        # utf-8 payload -> python-generated VALUES oracles
+        **media_plumbing_oracle_sql(_oracle_sf_dir()),
     }

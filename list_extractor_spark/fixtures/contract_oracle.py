@@ -471,6 +471,49 @@ def ivf_topk_sql(sf_dir: str, k_cents: int = 16, iters: int = 5,
     """
 
 
+def _media_type(doc_id: str) -> str:
+    m = int(doc_id) % 3
+    return "image" if m == 0 else ("audio" if m == 1 else "video")
+
+
+def media_resize_rows(sf_dir: str, width: int = 8, height: int = 8):
+    from ..tda.multimodal import fake_resize
+
+    rows = []
+    for doc_id, text in _sf_documents(sf_dir):
+        r = fake_resize(text.encode("utf-8"), width, height)
+        rows.append((doc_id, _media_type(doc_id), width, height, sum(r)))
+    return sorted(rows)
+
+
+def media_frames_rows(sf_dir: str, frame_bytes: int = 64, every_n: int = 4):
+    rows = []
+    for doc_id, text in _sf_documents(sf_dir):
+        if _media_type(doc_id) != "video":
+            continue
+        payload = text.encode("utf-8")
+        n_frames = max(1, len(payload) // frame_bytes)
+        for i in range(0, n_frames, every_n):
+            frame = payload[i * frame_bytes : (i + 1) * frame_bytes]
+            rows.append((doc_id, i, len(frame), sum(frame)))
+    return sorted(rows)
+
+
+def media_plumbing_oracle_sql(sf_dir: str) -> dict[str, str]:
+    return {
+        "media_resize": values_sql(
+            media_resize_rows(sf_dir),
+            [("doc_id", "VARCHAR"), ("media_type", "VARCHAR"), ("width", "INTEGER"),
+             ("height", "INTEGER"), ("checksum", "BIGINT")],
+        ),
+        "media_frames": values_sql(
+            media_frames_rows(sf_dir),
+            [("doc_id", "VARCHAR"), ("frame_idx", "INTEGER"),
+             ("n_bytes", "INTEGER"), ("checksum", "BIGINT")],
+        ),
+    }
+
+
 def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
     # bits=64 (the xxhash64 path) — the driver queries run the same width
     fp_values = values_sql(

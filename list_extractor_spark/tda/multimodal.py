@@ -93,6 +93,88 @@ def extract_media_features(media: DataFrame, dim: int = 4) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic fake resize: stride-sample the payload down to
+    width*height bytes (zero-padded when shorter) — the byte-shape contract a
+    real PIL/ffmpeg resize fills on a production cluster."""
+    n = width * height
+    if len(payload) == 0:
+        return bytes(n)
+    stride = max(1, len(payload) // n)
+    out = payload[::stride][:n]
+    return out + bytes(n - len(out))
+
+
+def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Arrow-batched resize slot (binary in -> fixed-size binary out) with a
+    JVM-comparable checksum column so correctness is assertable without
+    hashing raw binary driver-side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [fake_resize(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                    "checksum": [sum(r) for r in resized],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling for video rows: chunk the payload into fixed-size
+    'frames' and keep every n-th — the 1->N output shape (rows out != rows
+    in) a real decord/ffmpeg frame sampler produces inside mapInPandas.
+    Non-video rows are filtered JVM-side before the python stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_bytes": [], "checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    frame = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["n_bytes"].append(len(frame))
+                    out["checksum"].append(sum(frame))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Per-type payload stats — pure JVM aggregation on the binary column."""
     return (

@@ -286,3 +286,24 @@ def test_winnow_fingerprints_detect_partial_overlap(spark):
     sigs = {r["doc_id"]: r["n_fp"]
             for r in textstats.winnow_signatures(df).collect()}
     assert sigs == {d: len(s) for d, s in fps.items()}
+
+
+def test_media_resize_and_frame_sampling_shapes(spark):
+    """Resize: binary in -> exactly width*height bytes out. Frame sampling:
+    1->N output rows (every_n-th fixed-size chunk), video rows only."""
+    rows = [("0", "x" * 300, "en", "s"),   # image (0 % 3)
+            ("2", "y" * 300, "en", "s"),   # video (2 % 3)
+            ("5", "z" * 20, "en", "s")]    # video, shorter than one frame
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string, source string")
+    media = multimodal.media_from_documents(docs)
+    resized = multimodal.resize_media(media, width=4, height=4).collect()
+    assert {len(r["payload"]) for r in resized} == {16}
+    assert all(r["checksum"] == sum(r["payload"]) for r in resized)
+    frames = multimodal.sample_frames(media, frame_bytes=64, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {"2", "5"}        # video only
+    assert [f["frame_idx"] for f in sorted(by_doc["2"], key=lambda r: r["frame_idx"])] == [0, 2, 4][: len(by_doc["2"])]
+    assert len(by_doc["2"]) == 2            # 300//64=4 frames, every 2nd -> idx 0,2
+    assert by_doc["5"][0]["n_bytes"] == 20  # short payload -> one partial frame
