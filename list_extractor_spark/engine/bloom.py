@@ -83,7 +83,14 @@ def build_bloom(keys: DataFrame, fpp: float = 1e-8) -> BloomSet:
     import numpy as np
     import pandas as pd
 
-    n = keys.count()
+    # sizing count: exact row count straight from the plan when the key set
+    # collapsed to a LocalRelation (zero jobs — tiny driver jobs cost ~0.3 s
+    # of scheduling latency each on a busy driver); a count job otherwise
+    plan = keys._jdf.queryExecution().optimizedPlan()
+    if plan.getClass().getSimpleName() == "LocalRelation":
+        n = plan.data().size()
+    else:
+        n = keys.count()
     if n == 0:
         return BloomSet(b"\x00" * 128, 1, 1024)
     m_bits, k = _params(n, fpp)

@@ -48,7 +48,7 @@ def canonical_map_df(
     shuffle width: identity-edge sets are orders smaller than the triple set,
     and a 32-way shuffle of 40 rows costs more scheduler time than the join.
     """
-    n_edges = edges.limit(1_000_000).count()
+    n_edges = _estimate_edge_rows(edges)
     if n_edges <= driver_threshold:
         from ..core.canonical import canonical_map
 
@@ -117,6 +117,17 @@ def canonical_map_df(
                 f"{total_rounds} rounds"
             )
     return cur.filter(F.col("uri") != F.col("canonical"))
+
+
+def _estimate_edge_rows(edges: DataFrame) -> int:
+    """Row estimate for the fast-path decision: Catalyst plan statistics when
+    available (LocalRelation / file scans — zero jobs), else a LIMIT-bounded
+    count.  The threshold is a performance knob, not a correctness boundary
+    (both paths compute the same map), so a bytes-based estimate is fine."""
+    size = int(edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size < (1 << 62):  # real estimate, not a defaultSizeInBytes sentinel
+        return max(1, size // 128)  # two ~60-byte URIs per edge row
+    return edges.limit(1_000_000).count()
 
 
 def _pointers_are_pure_cycles(cur: DataFrame, edges: DataFrame) -> bool:
