@@ -227,6 +227,25 @@ def _q_regex_filter(spark, sf_dir):
     )
 
 
+def _q_rollup(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (SURVEY.md §2.7 aggregation family):
+    per (returnflag, linestatus), per returnflag, and grand total."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
 def _q_union_dedup(spark, sf_dir):
     cust = _load(spark, sf_dir, "customer")
     sup = _load(spark, sf_dir, "supplier")
@@ -521,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": _q_window_running,
         "q_topk": _q_topk,
         "q_regex_filter": _q_regex_filter,
+        "q_rollup": _q_rollup,
         "q_union_dedup": _q_union_dedup,
         # training-data ops
         "dedup_exact": _dedup_exact,
@@ -602,6 +622,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs FROM documents
             WHERE regexp_matches(text, '\bspark\b.*\bwindow\b')
             GROUP BY lang
+        """,
+        "q_rollup": """
+            SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+                   coalesce(l_linestatus, '(all)') AS linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "q_union_dedup": """
             SELECT DISTINCT nationkey FROM (
