@@ -47,3 +47,62 @@ def test_extract_document_total(seq, res_class):
     assert t1 == t2
     for s, p, o, dt in t1:
         assert isinstance(s, str) and isinstance(p, str) and isinstance(o, str)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=100))
+def test_xxh64_replica_total_and_deterministic(b):
+    from list_extractor_spark.fixtures.spark_hash import xxh64_bytes
+
+    v = xxh64_bytes(b, 42)
+    assert v == xxh64_bytes(b, 42)
+    assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_xxh64_replica_fuzz_vs_spark(spark):
+    """Random unicode strings (hypothesis-free: one DataFrame round-trip
+    instead of 300 Spark jobs) must hash identically in the replica."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from list_extractor_spark.fixtures.spark_hash import xxh64_str
+
+    rng = random.Random(7)
+    pool = "abc XYZ 0189 \t\n ünïcødé 日本 🎸'\"\\,;"
+    strs = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 80)))
+            for _ in range(300)]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in set(strs):
+        assert got[s] == xxh64_str(s), repr(s)
+
+
+def test_winnow_replica_fuzz_vs_spark(spark):
+    """Random whitespace-heavy texts: Spark winnow_posting must equal the
+    pure-python oracle replica (same normalize/k-gram/window-min rules)."""
+    import random
+    import re
+
+    from list_extractor_spark.fixtures.spark_hash import xxh64_str
+    from list_extractor_spark.tda.textstats import winnow_posting
+
+    rng = random.Random(11)
+    words = ["alpha", "Beta", "GAMMA", "d", "ee", "ffff", "0123", "x,y;z"]
+    ws = [" ", "  ", "\t", "\n", " \t "]
+    rows = []
+    for i in range(40):
+        n = rng.randrange(0, 30)
+        t = "".join(rng.choice(words) + rng.choice(ws) for _ in range(n))
+        rows.append((f"d{i:02d}", t))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got: dict = {}
+    for r in winnow_posting(df, k=8, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text in rows:
+        t = re.sub("[ \t\n\x0b\f\r]+", " ", text.lower())
+        want = set()
+        if len(t) >= 8:
+            hs = [xxh64_str(t[i:i + 8]) for i in range(len(t) - 7)]
+            want = {min(hs[i - 3:i + 1]) for i in range(3, len(hs))}
+        assert got.get(doc_id, set()) == want, doc_id

@@ -149,6 +149,38 @@ def test_canonicalization_random_digraphs(spark, seed):
     assert got == want, (seed, sorted(got ^ want)[:6])
 
 
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_canonicalization_random_multigraphs(spark, seed):
+    """Randomized digraphs WITH duplicate-source edges: the engine dedupes
+    min-parent, so the oracle is canonical_map over the min-parent dict —
+    both the driver fast path and the distributed path must match it."""
+    import random
+
+    from list_extractor_spark.core.canonical import canonical_map
+    from list_extractor_spark.engine.canonicalize import canonical_map_df
+
+    rng = random.Random(seed)
+    nodes = [f"m{i:02d}" for i in range(20)]
+    edge_rows = []
+    for n in nodes:
+        for _ in range(rng.randrange(0, 3)):  # 0-2 outgoing edges per node
+            edge_rows.append((n, rng.choice(nodes)))
+    if not edge_rows:
+        edge_rows = [("m00", "m01")]
+    parent: dict = {}
+    for u, p in edge_rows:
+        if u not in parent or p < parent[u]:
+            parent[u] = p
+    want = set(canonical_map(parent).items())
+    edges = spark.createDataFrame(edge_rows, schema="uri string, parent string")
+    for threshold in (100_000, 0):
+        got = {
+            (r["uri"], r["canonical"])
+            for r in canonical_map_df(edges, driver_threshold=threshold).collect()
+        }
+        assert got == want, (seed, threshold, sorted(got ^ want)[:6])
+
+
 def test_canonicalization_chains_longer_than_doubling_budget(spark):
     """An acyclic chain (and a cycle with a tail) LONGER than 2^max_iters must
     still resolve to the true sink / cycle-min: non-convergence alone does not
