@@ -36,3 +36,25 @@ def test_subject_grouping_and_prefixes():
     ttl = to_turtle(rows)
     assert ttl.count("dbr:A") == 1  # grouped under one subject block
     assert "@prefix dbo:" in ttl and "@prefix xsd:" in ttl
+
+
+def test_write_graph_emits_per_partition_lineage(spark, tmp_path):
+    """The <path>_lineage table must carry one row per committed table
+    partition, and its counts must reconcile exactly with the data."""
+    from list_extractor_spark.engine.sinks import write_graph
+
+    rows = [(f"s{i}", f"http://dbpedia.org/ontology/p{i % 5}", f"o{i}", None)
+            for i in range(200)]
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_dt string"
+    )
+    path = str(tmp_path / "graph")
+    write_graph(triples, path)
+    data = spark.read.parquet(path)
+    lineage = spark.read.parquet(path + "_lineage")
+    got = {r["pred_bucket"]: r for r in lineage.collect()}
+    want = {r["pred_bucket"]: r["n"] for r in
+            data.groupBy("pred_bucket").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert {b: r["n_rows"] for b, r in got.items()} == want
+    assert sum(r["n_rows"] for r in got.values()) == 200
+    assert all(r["n_subjects"] >= 1 and r["n_predicates"] >= 1 for r in got.values())
