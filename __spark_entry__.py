@@ -346,10 +346,14 @@ def _sim_topk(spark, sf_dir):
 
 def _sim_lsh_topk(spark, sf_dir):
     # scale path: bucket-partitioned materialization once, then a
-    # partition-pruned probe (no full-corpus bucket recomputation per query)
+    # partition-pruned probe (no full-corpus bucket recomputation per query).
+    # per-run temp dir: a fixed shared path would race between concurrent
+    # harness runs (one overwriting partition dirs the other is scanning)
+    import tempfile
+
     emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     planes = similarity.make_planes(64, n_planes=6)
-    path = f"/tmp/spark_graft_lsh_buckets_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = tempfile.mkdtemp(prefix="sg_lsh_buckets_")
     similarity.write_bucketed_embeddings(emb, planes, path)
     return similarity.lsh_topk_bucketed(spark, path, _query_vector(sf_dir), planes, k=10)
 
@@ -358,9 +362,11 @@ def _sim_ivf_topk(spark, sf_dir):
     # IVF ANN, scale serving shape: deterministic Lloyd coarse quantizer,
     # cells materialized ONCE partitioned by centroid_id, probe = partition-
     # pruned scan of nprobe cell dirs (mirrors _sim_lsh_topk)
+    import tempfile
+
     emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     cents = similarity.kmeans_centroids(emb, k=16, iters=5, sample=4096)
-    path = f"/tmp/spark_graft_ivf_cells_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = tempfile.mkdtemp(prefix="sg_ivf_cells_")  # per-run: no cross-run race
     similarity.write_ivf_cells(emb, cents, path)
     return similarity.ivf_topk_partitioned(
         spark, path, cents, _query_vector(sf_dir), k=10, nprobe=2

@@ -19,12 +19,22 @@ from __future__ import annotations
 
 def build_edges(redirects, sameas, dbr: str = "http://dbpedia.org/resource/"):
     """(src_id, dst_id) redirects + (wikidata_uri, dbpedia_uri) sameAs
-    -> directed parent dict {uri: parent_uri}."""
-    parent = {}
+    -> directed parent dict {uri: parent_uri}.
+
+    A uri with several outgoing edges (dirty redirect dumps; sameAs snapshots
+    with one wikidata entity mapped per language) keeps the MIN parent —
+    order-independent, and the rule the Spark engine applies on both of its
+    paths (engine/canonicalize.py), so oracle and engine agree on duplicates."""
+    parent: dict = {}
+
+    def put(u, p):
+        if u not in parent or p < parent[u]:
+            parent[u] = p
+
     for src, dst in redirects:
-        parent[dbr + src] = dbr + dst
+        put(dbr + src, dbr + dst)
     for wk, dbp in sameas:
-        parent[wk] = dbp
+        put(wk, dbp)
     return parent
 
 

@@ -86,10 +86,10 @@ def build_bloom(keys: DataFrame, fpp: float = 1e-8) -> BloomSet:
     # sizing count: exact row count straight from the plan when the key set
     # collapsed to a LocalRelation (zero jobs — tiny driver jobs cost ~0.3 s
     # of scheduling latency each on a busy driver); a count job otherwise
-    plan = keys._jdf.queryExecution().optimizedPlan()
-    if plan.getClass().getSimpleName() == "LocalRelation":
-        n = plan.data().size()
-    else:
+    from .stats import local_relation_rows
+
+    n = local_relation_rows(keys)
+    if n is None:
         n = keys.count()
     if n == 0:
         return BloomSet(b"\x00" * 128, 1, 1024)

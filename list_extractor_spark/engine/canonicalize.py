@@ -120,13 +120,17 @@ def canonical_map_df(
 
 
 def _estimate_edge_rows(edges: DataFrame) -> int:
-    """Row estimate for the fast-path decision: Catalyst plan statistics when
-    available (LocalRelation / file scans — zero jobs), else a LIMIT-bounded
-    count.  The threshold is a performance knob, not a correctness boundary
-    (both paths compute the same map), so a bytes-based estimate is fine."""
-    size = int(edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if size < (1 << 62):  # real estimate, not a defaultSizeInBytes sentinel
-        return max(1, size // 128)  # two ~60-byte URIs per edge row
+    """Row count for the fast-path decision.  EXACT only: the fast path ends
+    in a driver collect(), and Catalyst's byte statistics for file scans are
+    COMPRESSED sizes (shared-prefix URI dumps compress 10-30x), so a bytes
+    heuristic could misroute millions of rows into the driver.  LocalRelation
+    plans expose their exact row count with zero jobs (and their rows already
+    live in the driver); everything else pays one LIMIT-bounded count."""
+    from .stats import local_relation_rows
+
+    n = local_relation_rows(edges)
+    if n is not None:
+        return n
     return edges.limit(1_000_000).count()
 
 

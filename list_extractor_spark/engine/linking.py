@@ -43,9 +43,6 @@ def _parse_size_bytes(v) -> int:
 # the broadcast hash relation (JVM object overhead included); used only on
 # the unknown-stats fallback path
 _EST_BYTES_PER_ROW = 96
-# LogicalRDD etc. report defaultSizeInBytes = Long.MaxValue; anything this
-# large means "Catalyst has no estimate", not "the index is 4 EiB"
-_UNKNOWN_STATS = 1 << 62
 _SALT_CACHE: dict = {}
 
 
@@ -53,25 +50,26 @@ def _auto_salt(idx: DataFrame) -> int:
     """0 (broadcast) while the rank-1 index fits the broadcast threshold,
     AUTO_SALT past it.
 
-    Sized from Catalyst's own optimizedPlan statistics (sizeInBytes) — the
-    statistic Spark's broadcast planner itself consults — so for file-backed
-    snapshots (the production shape) the decision costs ZERO extra jobs.
-    Plans with no estimate (python createDataFrame -> LogicalRDD reports
-    Long.MaxValue) fall back to a LIMIT-bounded count, memoized per
-    (optimized plan, threshold) because even a tiny count job costs ~0.5 s of
-    scheduler latency on a busy driver — repeated pipeline runs over the same
-    index pay it once."""
+    Sized from Catalyst's plan statistics (engine/stats.py) — the same
+    number Spark's own broadcast planner consults, so for file-backed
+    snapshots (the production shape) the decision costs ZERO extra jobs and
+    errs exactly where Spark's native planner would.  Plans with no estimate
+    (python createDataFrame lists -> LogicalRDD) fall back to a
+    LIMIT-bounded count, memoized per (optimized plan, threshold) because
+    even a tiny count job costs ~0.5 s of scheduler latency on a busy driver
+    — repeated pipeline runs over the same index pay it once."""
+    from .stats import _optimized_plan, stats_size_bytes
+
     conf = idx.sparkSession.conf.get(
         "spark.sql.autoBroadcastJoinThreshold", "10485760"
     )
     threshold = _parse_size_bytes(conf)
     if threshold <= 0:  # broadcast disabled outright
         return AUTO_SALT
-    plan = idx._jdf.queryExecution().optimizedPlan()
-    size = int(plan.stats().sizeInBytes())
-    if size < _UNKNOWN_STATS:
+    size = stats_size_bytes(idx)
+    if size is not None:
         return AUTO_SALT if size > threshold else 0
-    key = (plan.toString(), threshold)
+    key = (_optimized_plan(idx).toString(), threshold)
     if key not in _SALT_CACHE:
         if len(_SALT_CACHE) > 64:
             _SALT_CACHE.clear()
@@ -118,7 +116,11 @@ def resolve_links(
             )
         )
         probe = candidates.withColumn(
-            "salt_k", F.pmod(F.abs(F.hash("doc_id", "pred", "obj")), F.lit(salt)).cast("int")
+            # pmod alone maps negative hashes into [0, salt); abs() here would
+            # be an ANSI-mode ARITHMETIC_OVERFLOW poison pill when a row
+            # hashes to Integer.MIN_VALUE (1-in-2^32 per row — near-certain
+            # at the row counts this path exists for)
+            "salt_k", F.pmod(F.hash("doc_id", "pred", "obj"), F.lit(salt)).cast("int")
         )
         join_cond = (
             (F.col("link_lang") == F.col("mi_lang"))

@@ -32,13 +32,18 @@ def write_graph(triples: DataFrame, path: str, partitions: int | None = None):
     is the scalable version of the reference's run-level evaluation.csv
     (utilities.py:319-346): per-partition rows let an operator audit or
     backfill one bucket without scanning the table."""
+    # pmod alone is non-negative; abs(hash) would raise ARITHMETIC_OVERFLOW
+    # under ANSI mode for a pred hashing to Integer.MIN_VALUE (a poison-pill
+    # row no retry fixes)
     out = triples.withColumn(
-        "pred_bucket", F.pmod(F.abs(F.hash("pred")), F.lit(16))
+        "pred_bucket", F.pmod(F.hash("pred"), F.lit(16))
     )
     if partitions:
         out = out.repartition(partitions, "pred_bucket")
     out.write.mode("overwrite").partitionBy("pred_bucket").parquet(path)
-    written = triples.sparkSession.read.parquet(path)
+    # explicit schema: a zero-row partitioned write commits only _SUCCESS (no
+    # parquet footers), and a schema-less re-read would fail on empty graphs
+    written = triples.sparkSession.read.schema(out.schema).parquet(path)
     lineage = written.groupBy("pred_bucket").agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("subj").alias("n_subjects"),

@@ -256,3 +256,18 @@ def test_arrow_extract_matches_pandas_extract(spark, documents_df, snapshots):
     b = sorted(tuple(r) for r in extract_candidates_arrow(documents_df, linkable_keys=keys)
                .select(cols).collect())
     assert a == b
+
+
+def test_build_edges_duplicate_sources_min_wins():
+    """core/build_edges must resolve duplicate-source identity edges (e.g. a
+    sameAs snapshot with one wikidata entity per language) to the MIN parent
+    — the same rule the Spark engine applies, so oracle and engine agree."""
+    from list_extractor_spark.core.canonical import build_edges
+
+    parent = build_edges(
+        redirects=[("X", "B"), ("X", "A")],
+        sameas=[("wd:Q1", "dbr:Zebra"), ("wd:Q1", "dbr:Aardvark")],
+    )
+    dbr = "http://dbpedia.org/resource/"
+    assert parent[dbr + "X"] == dbr + "A"
+    assert parent["wd:Q1"] == "dbr:Aardvark"

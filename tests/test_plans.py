@@ -176,3 +176,20 @@ def test_winnow_posting_is_single_shuffle_jvm_only(spark):
     assert "mapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "transform(" not in plan  # explode+substring, not interpreted HOF
     assert plan.count("Exchange") <= 2  # window shuffle (+ distinct reuses it)
+
+
+def test_salted_link_and_sink_have_no_ansi_abs_hash(spark):
+    """abs(hash(...)) throws ARITHMETIC_OVERFLOW under ANSI mode when a row
+    hashes to Integer.MIN_VALUE — the salt/bucket expressions must rely on
+    pmod's non-negative range instead."""
+    snaps = make_snapshots()
+    mi, sa, rd = snapshots_to_dfs(spark, snaps)
+    docs = spark.createDataFrame(
+        corpus_to_rows(make_corpus(4, hub_every=0)), schema=DOCUMENTS_SCHEMA
+    )
+    cand = extract_candidates(resolve_redirects(docs, rd), linkable_keys=set())
+    plan = _plan(resolve_links(cand, mi, sa, salt=4))
+    assert "abs(hash" not in plan, plan
+    # and the poison value itself survives pmod (would throw under abs)
+    row = spark.sql("select pmod(-2147483648, 8) as v").first()
+    assert 0 <= row["v"] < 8

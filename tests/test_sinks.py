@@ -58,3 +58,16 @@ def test_write_graph_emits_per_partition_lineage(spark, tmp_path):
     assert {b: r["n_rows"] for b, r in got.items()} == want
     assert sum(r["n_rows"] for r in got.values()) == 200
     assert all(r["n_subjects"] >= 1 and r["n_predicates"] >= 1 for r in got.values())
+
+
+def test_write_graph_empty_input_succeeds(spark, tmp_path):
+    """Zero triples must still commit an empty graph + empty lineage (a
+    schema-less re-read of a rows-less partitioned write would crash)."""
+    from list_extractor_spark.engine.sinks import write_graph
+
+    empty = spark.createDataFrame(
+        [], "subj string, pred string, obj string, obj_dt string"
+    )
+    path = str(tmp_path / "empty_graph")
+    write_graph(empty, path)
+    assert spark.read.parquet(path + "_lineage").count() == 0
