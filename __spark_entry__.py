@@ -418,6 +418,36 @@ def _stream_kg_extract(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id", "subj", "pred", "obj", "obj_dt")
 
 
+def _stream_kg_canonical(spark, sf_dir):
+    """Streaming extract+link with the STATIC canonical snapshot applied
+    in-stream (broadcast per micro-batch — the slowly-updating-dimension
+    pattern); global dedup remains a batch post-pass by design."""
+    import tempfile
+
+    from list_extractor_spark.engine.canonicalize import canonical_map_df, identity_edges
+    from list_extractor_spark.engine.pipeline import snapshots_to_dfs
+    from list_extractor_spark.streaming.stream_extract import (
+        stream_documents,
+        stream_triples,
+    )
+
+    src = os.path.join(tempfile.gettempdir(), f"sg_stream_docs_{KG_DOCS}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        _fixture_documents(spark).write.mode("overwrite").parquet(src)
+    out = tempfile.mkdtemp(prefix="sg_streamc_out_")
+    ck = tempfile.mkdtemp(prefix="sg_streamc_ck_")
+    snaps = make_snapshots()
+    mention_index, sameas, redirects = snapshots_to_dfs(spark, snaps)
+    keys = {(lang, s) for (lang, s, w, r) in snaps["mention_index"]}
+    cmap = canonical_map_df(identity_edges(redirects, sameas))
+    q = stream_triples(
+        stream_documents(spark, src), mention_index, sameas, keys, out, ck,
+        canonical_map=cmap,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("doc_id", "subj", "pred", "obj", "obj_dt")
+
+
 def _stream_windowed_events(spark, sf_dir):
     """Watermarked tumbling-window aggregation over the events table run AS A
     STREAM (availableNow, complete mode to a memory sink)."""
@@ -570,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _media_frames,
         # streaming
         "stream_kg_extract": _stream_kg_extract,
+        "stream_kg_canonical": _stream_kg_canonical,
         "stream_windowed_events": _stream_windowed_events,
         "stream_stateful_dedup": _stream_stateful_dedup,
     }

@@ -182,6 +182,21 @@ def stream_extract_rows():
     return sorted(out, key=lambda r: tuple("" if v is None else v for v in r))
 
 
+def stream_canonical_rows():
+    """stream_extract_rows with the static canonical snapshot applied per row
+    — mirrors the in-stream broadcast apply (multiset kept: global dedup
+    stays a batch post-pass over the sink)."""
+    snaps = make_snapshots()
+    cmap = canonical_map(build_edges(snaps["redirects"], snaps["sameas"]))
+    out = []
+    for doc_id, s, p, o, dt in stream_extract_rows():
+        s = cmap.get(s, s)
+        if dt is None:
+            o = cmap.get(o, o)
+        out.append((doc_id, s, p, o, dt))
+    return sorted(out, key=lambda r: tuple("" if v is None else v for v in r))
+
+
 def stream_stateful_dedup_rows():
     """Expected verdicts of the stateful streaming dedup over the duplicate-
     injected fixture corpus (one batch, per-group doc_ids sorted): per hash
@@ -584,6 +599,10 @@ def kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         "kg_spanified_triples": values_sql(kg_spanified_rows(sf_dir), _TRIPLE_COLS),
         "stream_kg_extract": values_sql(
             stream_extract_rows(),
+            [("doc_id", "VARCHAR")] + _TRIPLE_COLS,
+        ),
+        "stream_kg_canonical": values_sql(
+            stream_canonical_rows(),
             [("doc_id", "VARCHAR")] + _TRIPLE_COLS,
         ),
         "stream_windowed_events": STREAM_WINDOWED_EVENTS_SQL,

@@ -40,12 +40,24 @@ def stream_triples(
     output_dir: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    canonical_map: DataFrame | None = None,
 ):
     """Continuous extraction: every micro-batch runs the narrow extract plan +
     the broadcast link join; append-only parquet sink (exactly-once via the
-    streaming checkpoint)."""
+    streaming checkpoint).
+
+    ``canonical_map``: optional STATIC (uri, canonical) snapshot applied
+    in-stream as a broadcast join per micro-batch — the standard
+    slowly-updating-dimension pattern (identity dumps refresh on snapshot
+    cadence, not per batch).  Global triple DEDUP stays a batch post-pass
+    over the sink: set semantics need global state the append stream cannot
+    hold."""
+    from ..engine.canonicalize import apply_canonical_df
+
     candidates = extract_candidates(docs_stream, linkable_keys=linkable_keys)
     triples = resolve_links(candidates, mention_index, sameas)
+    if canonical_map is not None:
+        triples = apply_canonical_df(triples, canonical_map)
     writer = (
         triples.writeStream.format("parquet")
         .option("path", output_dir)
