@@ -71,3 +71,30 @@ def test_write_graph_empty_input_succeeds(spark, tmp_path):
     path = str(tmp_path / "empty_graph")
     write_graph(empty, path)
     assert spark.read.parquet(path + "_lineage").count() == 0
+
+
+def test_reference_compat_cli(spark, tmp_path):
+    """scripts/list_extractor.py mirrors the reference CLI contract
+    (collect_mode/source/language, dated Turtle naming)."""
+    import glob
+    import subprocess
+    import sys
+
+    from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA
+    from list_extractor_spark.fixtures import corpus_to_rows, make_corpus
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        corpus_to_rows(make_corpus(8, hub_every=0)), schema=DOCUMENTS_SCHEMA
+    ).write.parquet(docs_dir)
+    out_dir = str(tmp_path / "extracted")
+    res = subprocess.run(
+        [sys.executable, "scripts/list_extractor.py", "a", "Writer", "en",
+         "--input", docs_dir, "--out-dir", out_dir],
+        capture_output=True, text=True, timeout=240,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-800:]
+    (ttl,) = glob.glob(out_dir + "/ListExtractor_Writer_en_*.ttl")
+    text = open(ttl).read()
+    assert "@prefix dbo:" in text and "dbo:author" in text
