@@ -227,6 +227,27 @@ def _q_regex_filter(spark, sf_dir):
     )
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join (custom operator Spark lacks, tda/asof.py): each event is
+    enriched with the user's latest order at-or-before the event timestamp.
+    Orders pre-aggregated to one row per (custkey, orderdate) so the result
+    is deterministic; oracle = DuckDB's native ASOF LEFT JOIN."""
+    from list_extractor_spark.tda.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return asof_join(ev, o, key="user_id", ts="ts", payloads=["last_orderkey"]).select(
+        "event_id", "user_id", "last_orderkey"
+    )
+
+
 def _q_rollup(spark, sf_dir):
     """Hierarchical subtotals via ROLLUP (SURVEY.md §2.7 aggregation family):
     per (returnflag, linestatus), per returnflag, and grand total."""
@@ -576,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": _q_window_running,
         "q_topk": _q_topk,
         "q_regex_filter": _q_regex_filter,
+        "q_asof_join": _q_asof_join,
         "q_rollup": _q_rollup,
         "q_union_dedup": _q_union_dedup,
         # training-data ops
@@ -659,6 +681,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs FROM documents
             WHERE regexp_matches(text, '\bspark\b.*\bwindow\b')
             GROUP BY lang
+        """,
+        "q_asof_join": """
+            WITH o AS (
+              SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+                     max(o_orderkey) AS last_orderkey
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, o.last_orderkey
+            FROM events e ASOF LEFT JOIN o
+              ON e.user_id = o.user_id AND e.ts >= o.ots
         """,
         "q_rollup": """
             SELECT coalesce(l_returnflag, '(all)') AS returnflag,

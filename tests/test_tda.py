@@ -307,3 +307,33 @@ def test_media_resize_and_frame_sampling_shapes(spark):
     assert [f["frame_idx"] for f in sorted(by_doc["2"], key=lambda r: r["frame_idx"])] == [0, 2, 4][: len(by_doc["2"])]
     assert len(by_doc["2"]) == 2            # 300//64=4 frames, every 2nd -> idx 0,2
     assert by_doc["5"][0]["n_bytes"] == 20  # short payload -> one partial frame
+
+
+def test_asof_join_interleaved_semantics(spark):
+    """Hand-built interleaving: before-first-right -> NULL, equal-ts visible
+    when inclusive and hidden when exclusive, latest-at-or-before otherwise,
+    keys never cross."""
+    from datetime import datetime as dt
+
+    from list_extractor_spark.tda.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", dt(2024, 1, 1)),   # before any right row -> NULL
+         (2, "u", dt(2024, 1, 5)),   # equal ts as right@jan5
+         (3, "u", dt(2024, 1, 7)),   # between jan5 and jan9 -> jan5 payload
+         (4, "u", dt(2024, 1, 9)),   # equal ts as right@jan9
+         (5, "v", dt(2024, 1, 8))],  # other key: only v's rights visible
+        "event_id long, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", dt(2024, 1, 5), 50), ("u", dt(2024, 1, 9), 90),
+         ("v", dt(2024, 1, 2), 20)],
+        "key string, ts timestamp, payload int",
+    )
+    inc = {r["event_id"]: r["payload"]
+           for r in asof_join(left, right, "key", "ts", ["payload"]).collect()}
+    assert inc == {1: None, 2: 50, 3: 50, 4: 90, 5: 20}
+    exc = {r["event_id"]: r["payload"]
+           for r in asof_join(left, right, "key", "ts", ["payload"],
+                              inclusive=False).collect()}
+    assert exc == {1: None, 2: None, 3: 50, 4: 50, 5: 20}
