@@ -248,6 +248,16 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_range_join(spark, sf_dir):
+    """Banded range join (tda/range_join.py): same-user event pairs within
+    30 minutes — equi-join on (user, time-bin) with fan-out 3 instead of a
+    non-equi cross product.  Aggregated per user for a compact contract."""
+    from list_extractor_spark.tda.range_join import banded_time_pairs
+
+    pairs = banded_time_pairs(_load(spark, sf_dir, "events"), window_sec=1800)
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
 def _q_rollup(spark, sf_dir):
     """Hierarchical subtotals via ROLLUP (SURVEY.md §2.7 aggregation family):
     per (returnflag, linestatus), per returnflag, and grand total."""
@@ -598,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk": _q_topk,
         "q_regex_filter": _q_regex_filter,
         "q_asof_join": _q_asof_join,
+        "q_range_join": _q_range_join,
         "q_rollup": _q_rollup,
         "q_union_dedup": _q_union_dedup,
         # training-data ops
@@ -691,6 +702,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, o.last_orderkey
             FROM events e ASOF LEFT JOIN o
               ON e.user_id = o.user_id AND e.ts >= o.ots
+        """,
+        "q_range_join": """
+            SELECT a.user_id, count(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(date_diff('second', b.ts, a.ts)) <= 1800
+            GROUP BY a.user_id
         """,
         "q_rollup": """
             SELECT coalesce(l_returnflag, '(all)') AS returnflag,

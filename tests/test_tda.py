@@ -337,3 +337,25 @@ def test_asof_join_interleaved_semantics(spark):
            for r in asof_join(left, right, "key", "ts", ["payload"],
                               inclusive=False).collect()}
     assert exc == {1: None, 2: None, 3: 50, 4: 50, 5: 20}
+
+
+def test_banded_range_join_crosses_bin_boundaries(spark):
+    """Pairs straddling a bin boundary must still be found exactly once, and
+    pairs outside the window never."""
+    from datetime import datetime as dt
+
+    from list_extractor_spark.tda.range_join import banded_time_pairs
+
+    rows = [
+        (1, "u", dt(2024, 1, 1, 0, 9, 59)),   # bin boundary at 600s multiples
+        (2, "u", dt(2024, 1, 1, 0, 10, 1)),   # 2s later, adjacent bin
+        (3, "u", dt(2024, 1, 1, 0, 25, 0)),   # >600s from both
+        (4, "v", dt(2024, 1, 1, 0, 10, 0)),   # other key, never pairs with u
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    pairs = banded_time_pairs(df, window_sec=600, key="user_id")
+    got = sorted((r["user_id"], r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert got == [("u", 1, 2)]
+    # banding must stay an equi-join: no nested-loop / cartesian fallback
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
