@@ -258,6 +258,23 @@ def _q_range_join(spark, sf_dir):
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
 
 
+def _q_hypertable_rollup(spark, sf_dir):
+    """Hypertable continuous aggregate (tda/hypertable.py): daily totals
+    answered from the materialized HOURLY rollup, not the raw events — the
+    oracle aggregates raw events directly, proving the rollup re-aggregates
+    losslessly."""
+    import tempfile
+
+    from list_extractor_spark.tda.hypertable import daily_from_rollup, write_hourly_rollup
+
+    path = tempfile.mkdtemp(prefix="sg_hypertable_")
+    write_hourly_rollup(_load(spark, sf_dir, "events"), path)
+    return daily_from_rollup(spark, path).select(
+        F.col("day").cast("string").alias("day"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
 def _q_rollup(spark, sf_dir):
     """Hierarchical subtotals via ROLLUP (SURVEY.md §2.7 aggregation family):
     per (returnflag, linestatus), per returnflag, and grand total."""
@@ -609,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_regex_filter": _q_regex_filter,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
+        "q_hypertable_rollup": _q_hypertable_rollup,
         "q_rollup": _q_rollup,
         "q_union_dedup": _q_union_dedup,
         # training-data ops
@@ -702,6 +720,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, o.last_orderkey
             FROM events e ASOF LEFT JOIN o
               ON e.user_id = o.user_id AND e.ts >= o.ots
+        """,
+        "q_hypertable_rollup": """
+            SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "q_range_join": """
             SELECT a.user_id, count(*) AS n_pairs

@@ -193,3 +193,28 @@ def test_salted_link_and_sink_have_no_ansi_abs_hash(spark):
     # and the poison value itself survives pmod (would throw under abs)
     row = spark.sql("select pmod(-2147483648, 8) as v").first()
     assert 0 <= row["v"] < 8
+
+
+def test_hypertable_rollup_day_range_is_partition_pruned(spark, tmp_path):
+    """The rollup serving path must answer day-ranged queries via Catalyst
+    partition pruning over the day= dirs, and re-aggregate losslessly."""
+    from list_extractor_spark.tda.hypertable import daily_from_rollup, write_hourly_rollup
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "ht")
+    write_hourly_rollup(events, path)
+    q = daily_from_rollup(spark, path, from_day="2024-01-05", to_day="2024-01-06")
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    assert "day" in plan.split("PartitionFilters")[1][:200], plan
+    got = {(str(r["day"]), r["event_type"]): r["n_events"] for r in q.collect()}
+    want = {
+        (str(r["d"]), r["event_type"]): r["n"]
+        for r in events.filter(
+            (F.to_date("ts") >= "2024-01-05") & (F.to_date("ts") <= "2024-01-06")
+        )
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and got
