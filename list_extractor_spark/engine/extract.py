@@ -237,21 +237,25 @@ def parse_items(documents: DataFrame) -> DataFrame:
 
 def extract_metrics(documents: DataFrame, linkable_keys=None) -> DataFrame:
     """Per-document extraction stats (the reference's evaluate() numbers,
-    utilities.py:319-346), computed in the same narrow pass shape."""
+    utilities.py:319-346), computed in the same narrow pass shape.  Honors a
+    ``res_classes`` override column the same way extract_candidates does (so
+    a -c classname override counts what the pipeline actually extracts)."""
     sc = documents.sparkSession.sparkContext
     b_linker = sc.broadcast(
         DeferredLinker(linkable_keys if linkable_keys is not None else set())
     )
+    if "res_classes" not in documents.columns:
+        documents = documents.withColumn("res_classes", F.array("res_class"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         linker = b_linker.value
         for pdf in batches:
             rows = {k.name: [] for k in METRICS_SCHEMA.fields}
             for doc_id, lang, res_class, spans in zip(
-                pdf["doc_id"], pdf["lang"], pdf["res_class"], pdf["spans"]
+                pdf["doc_id"], pdf["lang"], pdf["res_classes"], pdf["spans"]
             ):
                 triples, (n_sections, n_items, n_extracted) = extract_document(
-                    doc_id, res_class, lang, _spans_from_cell(spans), linker
+                    doc_id, list(res_class), lang, _spans_from_cell(spans), linker
                 )
                 rows["doc_id"].append(doc_id)
                 rows["n_sections"].append(n_sections)

@@ -33,11 +33,36 @@ def asof_join(
     (``inclusive=False``: strictly <), NULL when no such row.
 
     ``right`` must be unique per (key, ts) — pre-aggregate to make the
-    result deterministic (e.g. groupBy(key, ts).agg(max(...)))."""
-    l = left.withColumn(_SIDE, F.lit(1))
-    for c in payloads:
-        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r = right.select(key, ts, *payloads).withColumn(_SIDE, F.lit(0))
+    result deterministic (e.g. groupBy(key, ts).agg(max(...))).
+
+    Semantics pinned to a true as-of (DuckDB ASOF JOIN): the payload columns
+    come from ONE matched right row carried as a struct — so a NULL payload
+    value in the latest match stays NULL (it is not skipped for an older
+    non-null one, which a naive last(col, ignorenulls) would do) and
+    multi-payload outputs are never stitched from different right rows.
+    Right rows with a NULL timestamp can never be a match and are dropped;
+    a left row with a NULL timestamp matches nothing (it sorts before every
+    right row)."""
+    collisions = set(payloads) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"left side already has payload column(s) {sorted(collisions)}; "
+            "rename before asof_join"
+        )
+    carry = "_asof_row"
+    l = left.withColumn(_SIDE, F.lit(1)).withColumn(
+        carry,
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}" for c in payloads
+            ) + ">",
+        ),
+    )
+    r = (
+        right.filter(F.col(ts).isNotNull())
+        .select(key, ts, F.struct(*payloads).alias(carry))
+        .withColumn(_SIDE, F.lit(0))
+    )
     for c in left.columns:
         if c not in (key, ts):
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -51,6 +76,8 @@ def asof_join(
         .orderBy(F.col(ts).asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    u = u.withColumn(carry, F.last(F.when(F.col(_SIDE) == 0, F.col(carry)), True).over(w))
+    out = u.filter(F.col(_SIDE) == 1)
     for c in payloads:
-        u = u.withColumn(c, F.last(F.when(F.col(_SIDE) == 0, F.col(c)), True).over(w))
-    return u.filter(F.col(_SIDE) == 1).drop(_SIDE)
+        out = out.withColumn(c, F.col(f"{carry}.{c}"))
+    return out.drop(_SIDE, carry)

@@ -38,19 +38,23 @@ from list_extractor_spark.engine.schemas import (  # noqa: E402
     REDIRECTS_SCHEMA,
     SAMEAS_SCHEMA,
 )
-from list_extractor_spark.engine.sinks import write_turtle  # noqa: E402
 from list_extractor_spark.rules import MAPPING  # noqa: E402
 
 
 def _load_snapshots(spark, snapshots_dir):
     if snapshots_dir:
+        def read(name, schema):
+            # accept both layouts: <dir>/<name> (run_pipeline.py's) and
+            # <dir>/<name>.parquet
+            p = os.path.join(snapshots_dir, name)
+            if not os.path.exists(p):
+                p = p + ".parquet"
+            return spark.read.schema(schema).parquet(p)
+
         return (
-            spark.read.schema(MENTION_INDEX_SCHEMA).parquet(
-                os.path.join(snapshots_dir, "mention_index.parquet")),
-            spark.read.schema(SAMEAS_SCHEMA).parquet(
-                os.path.join(snapshots_dir, "sameas.parquet")),
-            spark.read.schema(REDIRECTS_SCHEMA).parquet(
-                os.path.join(snapshots_dir, "redirects.parquet")),
+            read("mention_index", MENTION_INDEX_SCHEMA),
+            read("sameas", SAMEAS_SCHEMA),
+            read("redirects", REDIRECTS_SCHEMA),
         )
     from list_extractor_spark.fixtures import make_snapshots
 
@@ -112,10 +116,18 @@ def main():
 
     mention_index, sameas, redirects = _load_snapshots(spark, args.snapshots)
     triples = Pipeline(spark).run(docs, mention_index, sameas, redirects)
-    n_triples = triples.count()
+    # collect ONCE: the turtle writer materializes every row on the driver
+    # anyway, so counting separately would execute the whole lazy pipeline
+    # (extract UDF + link join + dedup shuffle) twice
+    rows = [
+        (r["subj"], r["pred"], r["obj"], r["obj_dt"])
+        for r in triples.select("subj", "pred", "obj", "obj_dt").collect()
+    ]
+    n_triples = len(rows)
 
     if args.collect_mode == "s":
-        # reference prints extracted/total list elements (listExtractor.py:102)
+        # reference prints extracted/total list elements (listExtractor.py:102);
+        # extract_metrics honors the -c res_classes override
         from list_extractor_spark.engine.extract import extract_metrics
 
         m = extract_metrics(docs).first()
@@ -123,11 +135,14 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     if n_triples:  # reference serializes only non-empty graphs (:149)
+        from list_extractor_spark.engine.sinks import to_turtle
+
         stamp = time.strftime("%Y_%m_%d")
         out = os.path.join(
             args.out_dir, f"ListExtractor_{args.source}_{args.language}_{stamp}.ttl"
         )
-        write_turtle(triples, out)
+        with open(out, "w") as f:
+            f.write(to_turtle(rows))
         print(f"{n_triples} triples -> {out}")
     else:
         print("0 triples: nothing serialized (reference parity)")

@@ -339,6 +339,32 @@ def test_asof_join_interleaved_semantics(spark):
     assert exc == {1: None, 2: None, 3: 50, 4: 50, 5: 20}
 
 
+def test_asof_join_null_payload_and_null_ts_semantics(spark):
+    """True as-of semantics (= DuckDB ASOF): a NULL payload in the LATEST
+    match stays NULL (not skipped for an older non-null), multi-payload
+    columns come from one matched row, NULL-ts right rows never match, and
+    a colliding payload name raises instead of silently destroying data."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from list_extractor_spark.tda.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", dt(2024, 1, 10))], "event_id long, key string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", dt(2024, 1, 2), 5, "old"),
+         ("u", dt(2024, 1, 8), None, "new"),   # latest match: p NULL, q 'new'
+         ("u", None, 99, "phantom")],           # NULL ts: never a match
+        "key string, ts timestamp, p int, q string",
+    )
+    (row,) = asof_join(left, right, "key", "ts", ["p", "q"]).collect()
+    assert row["p"] is None and row["q"] == "new"  # one row, not stitched
+    with _pytest.raises(ValueError):
+        asof_join(left.withColumn("p", F.lit(1)), right, "key", "ts", ["p"])
+
+
 def test_banded_range_join_crosses_bin_boundaries(spark):
     """Pairs straddling a bin boundary must still be found exactly once, and
     pairs outside the window never."""
