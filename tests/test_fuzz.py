@@ -106,3 +106,55 @@ def test_winnow_replica_fuzz_vs_spark(spark):
             hs = [xxh64_str(t[i:i + 8]) for i in range(len(t) - 7)]
             want = {min(hs[i - 3:i + 1]) for i in range(3, len(hs))}
         assert got.get(doc_id, set()) == want, doc_id
+
+
+def test_full_pipeline_parity_on_adversarial_corpora(spark):
+    """Seeded random corpora of adversarial span text (multi-byte unicode,
+    wiki markup fragments, refs, quotes, control-ish whitespace) through the
+    FULL Spark pipeline must equal the pure-python oracle exactly — the
+    end-to-end guard for Arrow string round-trips and encoding edges."""
+    import random
+
+    from list_extractor_spark.engine.pipeline import run_pipeline
+    from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA
+    from list_extractor_spark.fixtures import make_snapshots
+    from list_extractor_spark.fixtures.oracle import oracle_triples
+
+    pool = [
+        "''Italic Törtel''", "{{Some Ref}}", '"quoted"', "plain words",
+        "(1987)", "ünïcødé", "日本語テスト", "🎸 emoji", "&nbsp;", "ISBN 0-306-40615-2",
+        "March 1999", "a'postrophe", "semi;colon", "{unbalanced", "}}stray",
+        "'''bold'''", "tab\there", "  spaces  ", "for Best Novel", "from Academy",
+    ]
+    kinds = ["section:0", "section:1", "list_item:1", "list_item:2", "text"]
+    classes = ["Writer", "Band", "Actor", "EducationalInstitution", "Person"]
+    snaps = make_snapshots()
+    for seed in (101, 202, 303):
+        rng = random.Random(seed)
+        docs = []
+        for i in range(10):
+            spans = [("section:0", "Works", "", 0)]
+            for off in range(1, rng.randrange(2, 14)):
+                text = " ".join(rng.choice(pool) for _ in range(rng.randrange(1, 5)))
+                spans.append((rng.choice(kinds), text, "", off))
+            docs.append({
+                "doc_id": f"Fuzz_{seed}_{i}",
+                "lang": rng.choice(["en", "it", "de", "es"]),
+                "res_class": rng.choice(classes),
+                "spans": [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for (k, t, m, o) in spans
+                ],
+            })
+        rows = [
+            (d["doc_id"], d["lang"], d["res_class"],
+             [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]])
+            for d in docs
+        ]
+        df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+        got = {
+            (r["subj"], r["pred"], r["obj"], r["obj_dt"])
+            for r in run_pipeline(spark, df, snaps).collect()
+        }
+        want = oracle_triples(docs, snaps)
+        assert got == want, (seed, sorted(got ^ want)[:5])
