@@ -218,3 +218,23 @@ def test_hypertable_rollup_day_range_is_partition_pruned(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_asof_join_is_one_window_no_join_operator(spark):
+    """The as-of composition's scale claim must hold in the plan: union +
+    ONE per-key window shuffle, no join operator anywhere (a range-join
+    formulation would fan out per matching pair)."""
+    from list_extractor_spark.tda.asof import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").groupBy(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    ).agg(F.max("o_orderkey").alias("pay"))
+    plan = _plan(asof_join(ev, o, key="k", ts="ts", payloads=["pay"]))
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                    "ShuffledHashJoin", "Cartesian"):
+        assert join_op not in plan, join_op
+    assert "Window" in plan
