@@ -339,6 +339,8 @@ def _dedup_minhash_lsh(spark, sf_dir):
         k=16,
         bands=4,
         threshold=0.2,
+        # hub-bucket guard (degenerate band hashes), mirrored in the oracle
+        bucket_cap=50,
     )
 
 

@@ -319,7 +319,8 @@ def simhash_fp_rows(sf_dir: str, bits: int = 32):
     return sorted(rows)
 
 
-def minhash_lsh_rows(sf_dir: str, k: int = 16, bands: int = 4, threshold: float = 0.2):
+def minhash_lsh_rows(sf_dir: str, k: int = 16, bands: int = 4, threshold: float = 0.2,
+                     bucket_cap: int | None = None):
     rows_per_band = k // bands
     shingle_sets = {d: _py_shingles(t) for d, t in _sf_documents(sf_dir)}
     sigs = {}
@@ -337,6 +338,8 @@ def minhash_lsh_rows(sf_dir: str, k: int = 16, bands: int = 4, threshold: float 
             buckets.setdefault((b, h), []).append(doc_id)
     cand = set()
     for members in buckets.values():
+        if bucket_cap and len(members) > bucket_cap:
+            continue  # mirrors the Spark side's hub-bucket guard
         members = sorted(members)
         for i, a in enumerate(members):
             for b in members[i + 1 :]:
@@ -546,7 +549,7 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "dedup_minhash_lsh": values_sql(
-            minhash_lsh_rows(sf_dir),
+            minhash_lsh_rows(sf_dir, bucket_cap=50),
             [("doc_a", "VARCHAR"), ("doc_b", "VARCHAR"), ("jaccard", "DOUBLE")],
         ),
         "text_winnow_fingerprint": values_sql(

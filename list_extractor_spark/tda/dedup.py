@@ -76,7 +76,7 @@ def shingle_posting(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _cap_postings(posting: DataFrame, key: str, df_cap: int | None) -> DataFrame:
+def _cap_postings(posting: DataFrame, key, df_cap: int | None) -> DataFrame:
     """Drop postings whose key occurs in more than ``df_cap`` documents.
 
     The hub-token guard for inverted-index self-joins: a single shingle shared
@@ -90,10 +90,13 @@ def _cap_postings(posting: DataFrame, key: str, df_cap: int | None) -> DataFrame
 
     The window shuffle partitions by the same key the self-join uses, so the
     exchange is computed once and reused by both join sides.
+
+    ``key`` may be a single column name or a list (composite bucket keys,
+    e.g. the (band_id, bh) LSH bucket).
     """
     if not df_cap:
         return posting
-    w = Window.partitionBy(key)
+    w = Window.partitionBy(*(key if isinstance(key, (list, tuple)) else [key]))
     return (
         posting.withColumn("_df", F.count("*").over(w))
         .filter(F.col("_df") <= df_cap)
@@ -119,8 +122,11 @@ def shingle_jaccard_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
-        .join(F.broadcast(sizes.selectExpr("doc_id as doc_a", "n as n_a")), "doc_a")
-        .join(F.broadcast(sizes.selectExpr("doc_id as doc_b", "n as n_b")), "doc_b")
+        # sizes has ONE ROW PER DOCUMENT — never hint-broadcast it (multi-GB
+        # build side at 10^8 docs).  Unhinted: AQE broadcasts only when the
+        # runtime size actually fits, else shuffled join keyed on the doc id.
+        .join(sizes.selectExpr("doc_id as doc_a", "n as n_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id as doc_b", "n as n_b"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
@@ -154,8 +160,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
-        .join(F.broadcast(sizes.selectExpr("doc_id as doc_a", "n as n_a")), "doc_a")
-        .join(F.broadcast(sizes.selectExpr("doc_id as doc_b", "n as n_b")), "doc_b")
+        # per-document sizes table: unhinted join (see shingle_jaccard_pairs)
+        .join(sizes.selectExpr("doc_id as doc_a", "n as n_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id as doc_b", "n as n_b"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
@@ -180,14 +187,25 @@ def minhash_signatures(documents: DataFrame, k: int = 16) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, k: int = 16, bands: int = 4, threshold: float = 0.5
+    documents: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: candidates collide in >=1 band, then verified
     with exact Jaccard computed ONLY for candidate pairs.
 
     Scale path of ngram_jaccard_pairs: the self-join is on (band_id,
     band_hash) buckets, not raw tokens, and the verification join is driven
-    by the (small) candidate set, so no all-pairs work ever happens."""
+    by the (small) candidate set, so no all-pairs work ever happens.
+
+    ``bucket_cap`` is the hub-bucket guard (the banding twin of df_cap in the
+    Jaccard joins): a degenerate band hash shared by d documents still costs
+    d^2 candidate rows, so boilerplate-heavy corpora can go quadratic inside
+    one bucket.  Buckets with more than ``bucket_cap`` members are dropped
+    BEFORE the self-join; a dropped pair can still surface via its other
+    bands, so the recall loss is bounded (standard LSH practice)."""
     rows_per_band = k // bands
     posting = shingle_posting(documents).localCheckpoint(eager=True)
     sigs = posting.groupBy("doc_id").agg(
@@ -205,6 +223,7 @@ def minhash_lsh_pairs(
     for bs in band_selects[1:]:
         banded = banded.unionByName(bs)
     banded = banded.localCheckpoint(eager=True)
+    banded = _cap_postings(banded, ["band_id", "bh"], bucket_cap)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "bh"])
@@ -220,8 +239,9 @@ def minhash_lsh_pairs(
         .agg(F.count("*").alias("common"))
     )
     return (
-        common.join(F.broadcast(sizes.selectExpr("doc_id as doc_a", "n as n_a")), "doc_a")
-        .join(F.broadcast(sizes.selectExpr("doc_id as doc_b", "n as n_b")), "doc_b")
+        # per-document sizes table: unhinted join (see shingle_jaccard_pairs)
+        common.join(sizes.selectExpr("doc_id as doc_a", "n as n_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id as doc_b", "n as n_b"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),

@@ -195,6 +195,45 @@ def test_salted_link_and_sink_have_no_ansi_abs_hash(spark):
     assert 0 <= row["v"] < 8
 
 
+def test_jaccard_sizes_join_is_not_forced_broadcast(spark):
+    """The per-document `sizes` table (one row PER DOCUMENT) must never be
+    hint-broadcast: at 10^8 docs it is a multi-GB build side that OOMs every
+    executor.  With the broadcast budget dropped to 1 byte the sizes joins in
+    all three exact-Jaccard verifiers must plan as shuffled joins — a
+    BroadcastExchange appearing anyway would mean a F.broadcast() hint is
+    back (hints override the threshold)."""
+    from list_extractor_spark.tda import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).limit(40)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        for q in (
+            dedup.shingle_jaccard_pairs(docs, threshold=0.2, df_cap=50),
+            dedup.ngram_jaccard_pairs(docs, threshold=0.2, df_cap=50),
+            dedup.minhash_lsh_pairs(docs, threshold=0.2, bucket_cap=50),
+        ):
+            assert "BroadcastExchange" not in _plan(q), _plan(q)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_minhash_bucket_cap_drops_hub_buckets(spark):
+    """bucket_cap guards the banded self-join: a corpus of identical docs
+    collides every band, so capping below the corpus size must yield zero
+    candidate pairs (and no cap must yield all of them)."""
+    from list_extractor_spark.tda import dedup
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "same text shingled three words repeated here") for i in range(12)],
+        "doc_id string, text string",
+    )
+    assert dedup.minhash_lsh_pairs(docs, threshold=0.1).count() == 66
+    assert dedup.minhash_lsh_pairs(docs, threshold=0.1, bucket_cap=11).count() == 0
+
+
 def test_hypertable_rollup_day_range_is_partition_pruned(spark, tmp_path):
     """The rollup serving path must answer day-ranged queries via Catalyst
     partition pruning over the day= dirs, and re-aggregate losslessly."""
