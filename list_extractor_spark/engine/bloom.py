@@ -14,7 +14,9 @@ pipeline guards that path with a minted-fallback column
 (CANDIDATES_SCHEMA.link_fallback) so the output subject degrades to the
 fallback IRI instead of leaking a sentinel.  A false positive's only residual
 divergence from the true-miss semantics is the reference's elem-mutation
-side effect (mapper.py:884-886) — bounded by ``fpp`` (default 1e-8).
+side effect (mapper.py:884-886) — bounded by ``fpp``.  Default fpp is 1e-6:
+the FP consequence is only that bounded side effect, and relative to 1e-8 the
+bitmap shrinks 25% (smaller broadcast, smaller OR-reduce fan-in).
 """
 
 from __future__ import annotations
@@ -72,7 +74,7 @@ def _params(n: int, fpp: float) -> tuple[int, int]:
     return m_bits, min(k, 32)
 
 
-def build_bloom(keys: DataFrame, fpp: float = 1e-8) -> BloomSet:
+def build_bloom(keys: DataFrame, fpp: float = 1e-6) -> BloomSet:
     """keys(lang, surface) -> BloomSet, built without collecting any rows.
 
     Stage 1 (narrow): one bitmap per input partition.  Stage 2: OR-reduce on
@@ -133,5 +135,15 @@ def build_bloom(keys: DataFrame, fpp: float = 1e-8) -> BloomSet:
     bitmaps = keys.select("lang", "surface").mapInPandas(
         partition_bitmap, schema="bm binary"
     )
+    # Two-level OR-reduce: funneling one bitmap per input partition straight
+    # into a single task is O(P * m/8) bytes through one task — at 10^8 keys
+    # (m/8 ~ 0.5 GB) and ~10^3 partitions that is ~0.5 TB of single-task
+    # fan-in.  Reduce to ~sqrt(P) intermediate tasks first, so no task ever
+    # reads more than O(sqrt(P) * m/8) bytes; OR is associative/commutative,
+    # so the bitmap is identical either way.
+    p = bitmaps.rdd.getNumPartitions()
+    if p >= 16:
+        fan = math.isqrt(p)
+        bitmaps = bitmaps.repartition(fan).mapInPandas(or_reduce, schema="bm binary")
     (row,) = bitmaps.repartition(1).mapInPandas(or_reduce, schema="bm binary").collect()
     return BloomSet(bytes(row["bm"]), k, m_bits)

@@ -89,3 +89,15 @@ def test_false_positive_degrades_to_minted_fallback(spark):
         | F.col("subj").startswith("http://dbpedia.org/resource/Ref_")
     ).count()
     assert n_deferred >= n_linked
+
+
+def test_two_level_reduce_matches_single_path_many_partitions(spark):
+    """The sqrt(P) intermediate OR level must produce a bit-identical bitmap
+    to the small-P single-task path (OR is associative/commutative), and the
+    two-level plan must engage on a many-partition input."""
+    keys = {("en", f"k{i}") for i in range(2000)}
+    wide = build_bloom(_keys_df(spark, keys).repartition(256))
+    narrow = build_bloom(_keys_df(spark, keys).repartition(2))
+    assert (wide.k, wide.m_bits) == (narrow.k, narrow.m_bits)
+    assert wide.bits == narrow.bits
+    assert all(k in wide for k in list(keys)[:50])
