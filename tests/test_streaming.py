@@ -162,3 +162,74 @@ def test_stateful_dedup_salted_duplicate_storm(spark, tmp_path):
     assert len(merged) == 1
     assert merged[0]["n_docs"] == n_copies
     assert merged[0]["first_doc_id"] == min(firsts)
+
+
+@pytest.mark.timeout(300)
+def test_stateful_dedup_ttl_evicts_idle_hashes(spark, tmp_path):
+    """ttl_ms arms ProcessingTimeTimeout: a hash idle past the TTL is evicted
+    (its next arrival re-admits as new, n_seen restarting at 1), while a hash
+    refreshed within the TTL keeps deduping.  ONE continuous processingTime
+    query (availableNow never terminates under processing-time timeouts —
+    Spark keeps scheduling no-data cleanup batches; see the docstring),
+    driven by sink-count polling: X arrives, the query idles past the TTL
+    (a no-data batch fires X's timeout), then X+Y then duplicates arrive —
+    X re-admits as new, Y is still deduped.
+
+    Orchestration note: under processing-time timeouts the engine ALSO never
+    reports "no new data" (no-data cleanup batches fire every trigger), so
+    ``processAllAvailable()`` blocks forever just like availableNow never
+    terminates — jstack-verified: checkpoint at batch ~2000 with the driver
+    parked in awaitProgressLock.  Poll the sink row count instead."""
+    import time as _time
+
+    from list_extractor_spark.streaming.stateful import streaming_exact_dedup
+
+    rows = corpus_to_rows(make_corpus(2, hub_every=0))
+    (_, xlang, xcls, xspans), (_, ylang, ycls, yspans) = rows[0], rows[1]
+    in_dir, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+
+    def feed(batch_rows):
+        spark.createDataFrame(batch_rows, schema=DOCUMENTS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    def await_rows(n, deadline_s=120):
+        t0 = _time.time()
+        while _time.time() - t0 < deadline_s:
+            if spark.sql("select count(*) c from sttl").first()["c"] >= n:
+                return
+            _time.sleep(1)
+        raise AssertionError(f"sink never reached {n} rows in {deadline_s}s")
+
+    feed([("x1", xlang, xcls, xspans)])
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_exact_dedup(stream, ttl_ms=8_000)
+        .writeStream.format("memory")
+        .queryName("sttl")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        await_rows(1)  # x1 admitted, TTL armed
+        _time.sleep(12)  # > TTL: a no-data batch evicts X's state
+        feed([("y1", ylang, ycls, yspans)])
+        await_rows(2)  # y1 admitted (fresh state); X already evicted
+        feed([("x2", xlang, xcls, xspans), ("y2", ylang, ycls, yspans)])
+        await_rows(4)
+    finally:
+        q.stop()
+
+    out = {r["doc_id"]: r for r in spark.sql("select * from sttl").collect()}
+    assert out["x1"]["kept"] is True
+    assert out["y1"]["kept"] is True
+    # X expired -> re-admitted as brand new state
+    assert out["x2"]["kept"] is True and out["x2"]["n_seen"] == 1
+    # Y set ~seconds ago (inside TTL) -> still deduped
+    assert out["y2"]["kept"] is False and out["y2"]["n_seen"] == 2
