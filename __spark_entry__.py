@@ -262,20 +262,50 @@ def _q_hypertable_rollup(spark, sf_dir):
     """Hypertable continuous aggregate (tda/hypertable.py): daily totals
     answered from the materialized HOURLY rollup, not the raw events — the
     oracle aggregates raw events directly, proving the rollup re-aggregates
-    losslessly."""
+    losslessly.  The rollup is built THE INCREMENTAL WAY on purpose: a base
+    build over the early days, then refresh_rollup() folds in the rest as
+    late data via dynamic partition overwrite — so the graded result also
+    proves base+refresh converges to the one-pass aggregate."""
+    import hashlib
+    import shutil
     import tempfile
 
-    from list_extractor_spark.tda.hypertable import daily_from_rollup, write_hourly_rollup
+    from list_extractor_spark.tda.hypertable import (
+        daily_from_rollup,
+        refresh_rollup,
+        write_hourly_rollup,
+    )
 
-    # stable write-once staging (the _SUCCESS-guarded pattern the stream
-    # queries use): the rollup is deterministic per sf_dir, so repeated
-    # harness runs reuse it instead of rebuilding and leaking temp dirs
+    events_src = os.path.join(sf_dir, "events.parquet")
+    # stable write-once staging, keyed by a content fingerprint of the input
+    # (names+sizes+mtimes) so a regenerated fixture at the same basename
+    # busts the cache instead of serving a stale rollup
+    fp = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(events_src)) or [(events_src, [], [])]:
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            fp.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    if os.path.isfile(events_src):
+        st = os.stat(events_src)
+        fp.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     path = os.path.join(
         tempfile.gettempdir(),
-        f"sg_hypertable_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"sg_hypertable_{os.path.basename(sf_dir.rstrip('/'))}_{fp.hexdigest()[:12]}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_hourly_rollup(_load(spark, sf_dir, "events"), path)
+        # build into a private dir, atomically rename into the shared path:
+        # concurrent harness runs race on the rename, never on a live dir
+        events = _load(spark, sf_dir, "events")
+        cutoff = "2024-01-20"
+        tmp = tempfile.mkdtemp(dir=tempfile.gettempdir(), prefix="sg_ht_build_")
+        build = os.path.join(tmp, "rollup")
+        write_hourly_rollup(events.filter(F.to_date("ts") < cutoff), build)
+        refresh_rollup(events, build, since_day=cutoff)
+        try:
+            os.rename(build, path)
+        except OSError:
+            pass  # another run won the race; its rollup is identical
+        shutil.rmtree(tmp, ignore_errors=True)
     return daily_from_rollup(spark, path).select(
         F.col("day").cast("string").alias("day"),
         "event_type", "n_events", "sum_value",
@@ -731,10 +761,14 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = o.user_id AND e.ts >= o.ots
         """,
         "q_hypertable_rollup": """
+            -- decimal accumulation mirrors the rollup's stored measure type:
+            -- both sides sum exactly, so the 4-dp round is deterministic
+            -- (double partials could near-tie at the 4th decimal)
             SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
                    event_type,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE)
+                       AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "q_range_join": """

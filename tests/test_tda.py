@@ -385,3 +385,58 @@ def test_banded_range_join_crosses_bin_boundaries(spark):
     # banding must stay an equi-join: no nested-loop / cartesian fallback
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+
+
+def test_refresh_rollup_rewrites_only_invalidated_day_partitions(spark, tmp_path):
+    """TimescaleDB-style incremental refresh: a base build missing recent +
+    late rows, then refresh_rollup(since_day=earliest invalidated day) must
+    (a) converge to exactly the full one-pass rollup and (b) leave the day=
+    dirs before since_day byte-untouched (same files, same mtimes)."""
+    import os
+
+    from list_extractor_spark.tda.hypertable import (
+        daily_from_rollup,
+        refresh_rollup,
+        write_hourly_rollup,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "ht")
+    # base build: drop everything from 2024-01-20 on, plus "late" rows that
+    # belong to 2024-01-15 (so the invalidation window reaches back past the
+    # newest data already rolled up)
+    late = (F.to_date("ts") == "2024-01-15") & (F.col("event_id") % 3 == 0)
+    write_hourly_rollup(
+        events.filter((F.to_date("ts") < "2024-01-20") & ~late), path
+    )
+
+    def day_dir_state(p):
+        state = {}
+        for d in os.listdir(p):
+            if d.startswith("day="):
+                full = os.path.join(p, d)
+                state[d] = sorted(
+                    (f, os.stat(os.path.join(full, f)).st_mtime_ns)
+                    for f in os.listdir(full)
+                )
+        return state
+
+    before = day_dir_state(path)
+    refresh_rollup(events, path, since_day="2024-01-15")
+    after = day_dir_state(path)
+
+    untouched = {d for d in before if d < "day=2024-01-15"}
+    assert untouched, "fixture must span days before the invalidation window"
+    for d in untouched:
+        assert after[d] == before[d], f"{d} was rewritten by the refresh"
+    assert any(d >= "day=2024-01-20" for d in after)  # new days materialized
+
+    # refreshed rollup == full rebuild, exactly (decimal measures)
+    full = str(tmp_path / "full")
+    write_hourly_rollup(events, full)
+    key = lambda r: (str(r["day"]), r["event_type"])  # noqa: E731
+    got = {key(r): (r["n_events"], r["sum_value"])
+           for r in daily_from_rollup(spark, path).collect()}
+    want = {key(r): (r["n_events"], r["sum_value"])
+            for r in daily_from_rollup(spark, full).collect()}
+    assert got == want and got
