@@ -68,13 +68,27 @@ def hyperplane_buckets(
 
     ``keep_embedding=True`` carries the vector through the pass so the index
     builders (write_bucketed_embeddings, cosine_near_dup_pairs_lsh) need no
-    vec_id join back to the corpus."""
+    vec_id join back to the corpus.
+
+    Sign-boundary caveat: the bucket bit is ``(e @ plane) > 0`` computed by
+    numpy/BLAS; a vector whose dot against a plane is within float rounding
+    of zero could in principle land on either side vs a sequentially-summed
+    evaluation (e.g. the DuckDB oracle's list_dot_product).  query_bucket
+    uses the SAME matmul path so probe and corpus always agree with each
+    other; multi-probe (n_probe_buckets > 1) additionally covers the
+    nearest-margin flips, which is exactly the unlucky-split case."""
     import numpy as np
 
     pl = [list(map(float, p)) for p in planes]
-    schema = "vec_id long, bucket long" + (
-        ", embedding array<float>" if keep_embedding else ""
-    )
+    # derive vec_id (and embedding) types from the input so non-long ids
+    # pass through unchanged instead of being silently narrowed to long
+    fields = [
+        embeddings.schema["vec_id"],
+        T.StructField("bucket", T.LongType(), False),
+    ]
+    if keep_embedding:
+        fields.append(embeddings.schema["embedding"])
+    schema = T.StructType(fields)
 
     def run(batches):
         p = np.array(pl, dtype="float64").T  # dim x n_planes
@@ -90,23 +104,46 @@ def hyperplane_buckets(
     return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=schema)
 
 
+def query_buckets(query, planes, n_probe_buckets: int = 1) -> list[int]:
+    """Multi-probe LSH probe set (driver-side, tiny): the query's own bucket
+    first, then single-bit flips ordered by |margin| — the planes the query
+    sits CLOSEST to are the ones a true neighbor most plausibly falls on the
+    other side of (Lv et al., multi-probe LSH, VLDB'07).  n_probe_buckets=1
+    is the classic single-bucket probe; the dots are computed with the same
+    numpy matmul as hyperplane_buckets so probe and corpus bucketing agree
+    bit-for-bit."""
+    import numpy as np
+
+    q = np.asarray([float(v) for v in query], dtype="float64")
+    p = np.array([[float(v) for v in pl] for pl in planes], dtype="float64").T
+    dots = q @ p
+    weights = np.int64(1) << np.arange(len(planes), dtype="int64")
+    base = int(((dots > 0) * weights).sum())
+    buckets = [base]
+    for bit in np.argsort(np.abs(dots)):  # nearest margins first
+        if len(buckets) >= n_probe_buckets:
+            break
+        buckets.append(base ^ (1 << int(bit)))
+    return buckets
+
+
 def query_bucket(query, planes) -> int:
     """Hyperplane-sign bucket of a query vector (driver-side, tiny)."""
-    q_bucket = 0
-    for i, plane in enumerate(planes):
-        if sum(a * b for a, b in zip(query, plane)) > 0:
-            q_bucket |= 1 << i
-    return q_bucket
+    return query_buckets(query, planes, n_probe_buckets=1)[0]
 
 
-def lsh_topk(embeddings: DataFrame, query, planes, k: int = 10) -> DataFrame:
+def lsh_topk(
+    embeddings: DataFrame, query, planes, k: int = 10, n_probe_buckets: int = 1
+) -> DataFrame:
     """ANN top-k computing buckets inline: restrict exact scoring to the
-    query's LSH bucket.  One-shot form — every probe recomputes the corpus
+    query's LSH bucket(s).  One-shot form — every probe recomputes the corpus
     buckets, so for repeated probes use write_bucketed_embeddings +
-    lsh_topk_bucketed (partition-pruned scan) instead."""
+    lsh_topk_bucketed (partition-pruned scan) instead.  n_probe_buckets > 1
+    widens the probe to the nearest-margin bit flips (multi-probe) — linear
+    extra scan cost, measured recall lift under unlucky hyperplane splits."""
     in_bucket = (
         hyperplane_buckets(embeddings, planes, keep_embedding=True)
-        .filter(F.col("bucket") == query_bucket(query, planes))
+        .filter(F.col("bucket").isin(query_buckets(query, planes, n_probe_buckets)))
         .drop("bucket")
     )
     return brute_force_topk(in_bucket, query, k)
@@ -123,11 +160,15 @@ def write_bucketed_embeddings(embeddings: DataFrame, planes, path: str) -> None:
     with_bucket.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
-def lsh_topk_bucketed(spark, path: str, query, planes, k: int = 10) -> DataFrame:
+def lsh_topk_bucketed(
+    spark, path: str, query, planes, k: int = 10, n_probe_buckets: int = 1
+) -> DataFrame:
     """Probe a materialized bucketed corpus: partition-pruned scan -> exact
-    cosine top-k inside the single matching bucket."""
-    qb = query_bucket(query, planes)
-    in_bucket = spark.read.parquet(path).filter(F.col("bucket") == qb).drop("bucket")
+    cosine top-k inside the matching bucket(s).  Multi-probe keeps partition
+    pruning (isin over bucket= dirs): n_probe_buckets dirs scanned, never the
+    corpus."""
+    qbs = query_buckets(query, planes, n_probe_buckets)
+    in_bucket = spark.read.parquet(path).filter(F.col("bucket").isin(qbs)).drop("bucket")
     return brute_force_topk(in_bucket, query, k)
 
 

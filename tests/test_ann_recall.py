@@ -1,0 +1,95 @@
+"""Planted-near-neighbor recall gate for the ANN serving paths.
+
+Both indexes (hyperplane-LSH buckets, IVF cells) trade recall for scan
+bounds; this gate MEASURES that trade on a seeded clustered corpus instead
+of leaving it as a docstring claim: ground truth = exact cosine top-k
+(numpy), recall@10 averaged over one query per planted cluster, asserted
+for the single-probe default AND the widened probe (multi-probe LSH /
+nprobe=2 IVF).  Measured values are recorded in BENCH/BASELINE.md.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from list_extractor_spark.tda import similarity
+
+DIM, N_CLUSTERS, PER_CLUSTER, K = 32, 24, 40, 10
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.RandomState(7)
+    centers = rng.normal(size=(N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, PER_CLUSTER, axis=0) + rng.normal(
+        scale=0.05, size=(N_CLUSTERS * PER_CLUSTER, DIM)
+    )
+    queries = centers[:8] + rng.normal(scale=0.05, size=(8, DIM))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>",
+    ).coalesce(4)
+    # ground truth from the same float32 values the index stores
+    v32 = vecs.astype("float32").astype("float64")
+    v32n = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    truth = []
+    for q in queries:
+        sims = v32n @ (q / np.linalg.norm(q))
+        truth.append(set(np.argsort(-sims)[:K].tolist()))
+    return df, queries, truth
+
+
+def _recall(topk_ids, true_ids):
+    return len(set(topk_ids) & true_ids) / len(true_ids)
+
+
+def test_lsh_recall_and_multiprobe_lift(spark, tmp_path, planted):
+    df, queries, truth = planted
+    planes = similarity.make_planes(DIM, n_planes=6)
+    path = str(tmp_path / "lsh")
+    similarity.write_bucketed_embeddings(df, planes, path)
+
+    def avg_recall(n_probe):
+        rs = []
+        for q, t in zip(queries, truth):
+            got = [
+                r["vec_id"]
+                for r in similarity.lsh_topk_bucketed(
+                    spark, path, [float(v) for v in q], planes, k=K,
+                    n_probe_buckets=n_probe,
+                ).collect()
+            ]
+            rs.append(_recall(got, t))
+        return sum(rs) / len(rs)
+
+    single, multi = avg_recall(1), avg_recall(4)
+    print(f"\nLSH recall@10: single-probe={single:.3f} multi-probe(4)={multi:.3f}")
+    assert multi >= single  # widening the probe never loses candidates
+    assert single >= 0.40   # single bucket of 64: planted floor
+    assert multi >= 0.80 and multi >= single + 0.2  # margin flips recover splits
+
+
+def test_ivf_recall_vs_nprobe(spark, tmp_path, planted):
+    df, queries, truth = planted
+    cents = similarity.kmeans_centroids(df, k=16, iters=5)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_cells(df, cents, path)
+
+    def avg_recall(nprobe):
+        rs = []
+        for q, t in zip(queries, truth):
+            got = [
+                r["vec_id"]
+                for r in similarity.ivf_topk_partitioned(
+                    spark, path, cents, [float(v) for v in q], k=K, nprobe=nprobe
+                ).collect()
+            ]
+            rs.append(_recall(got, t))
+        return sum(rs) / len(rs)
+
+    n1, n2 = avg_recall(1), avg_recall(2)
+    print(f"IVF recall@10: nprobe=1 {n1:.3f} nprobe=2 {n2:.3f}")
+    assert n2 >= n1
+    assert n1 >= 0.60   # the planted cluster usually maps to one cell
+    assert n2 >= 0.90   # two cells recover boundary-straddling clusters
