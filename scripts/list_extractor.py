@@ -40,6 +40,11 @@ from list_extractor_spark.engine.schemas import (  # noqa: E402
 )
 from list_extractor_spark.rules import MAPPING  # noqa: E402
 
+# One Turtle FILE is inherently a driver-side artifact; past this many triples
+# class mode keeps the distributed graph table and refuses the .ttl unless
+# --force-ttl (a 5M-triple graph is ~500 MB of Turtle text on the driver).
+TTL_ROW_BUDGET = 5_000_000
+
 
 def _load_snapshots(spark, snapshots_dir):
     if snapshots_dir:
@@ -79,6 +84,11 @@ def main():
                     help="dir with mention_index/sameas/redirects parquet "
                          "(default: built-in demo snapshots)")
     ap.add_argument("--out-dir", default="extracted")
+    ap.add_argument("--force-ttl", action="store_true",
+                    help="class mode: serialize the Turtle file even past the "
+                         f"{TTL_ROW_BUDGET:,}-triple driver budget")
+    ap.add_argument("--ttl-budget", type=int, default=TTL_ROW_BUDGET,
+                    help=argparse.SUPPRESS)  # test hook
     args = ap.parse_args()
 
     spark = (
@@ -116,16 +126,45 @@ def main():
 
     mention_index, sameas, redirects = _load_snapshots(spark, args.snapshots)
     triples = Pipeline(spark).run(docs, mention_index, sameas, redirects)
-    # collect ONCE: the turtle writer materializes every row on the driver
-    # anyway, so counting separately would execute the whole lazy pipeline
-    # (extract UDF + link join + dedup shuffle) twice
-    rows = [
-        (r["subj"], r["pred"], r["obj"], r["obj_dt"])
-        for r in triples.select("subj", "pred", "obj", "obj_dt").collect()
-    ]
-    n_triples = len(rows)
+    os.makedirs(args.out_dir, exist_ok=True)
+    stamp = time.strftime("%Y_%m_%d")
 
-    if args.collect_mode == "s":
+    if args.collect_mode == "a":
+        # class mode over a real corpus: the distributed, partitioned graph
+        # table is the PRIMARY output (engine/sinks.py write_graph, with its
+        # per-partition lineage); the single .ttl is a driver-bound courtesy
+        # bounded by TTL_ROW_BUDGET.  Counting from the committed parquet is
+        # metadata-cheap and never re-executes the pipeline.
+        from list_extractor_spark.engine.sinks import write_graph
+
+        graph_path = os.path.join(
+            args.out_dir, f"graph_{args.source}_{args.language}_{stamp}"
+        )
+        write_graph(triples, graph_path)
+        committed = spark.read.parquet(graph_path)
+        n_triples = committed.count()
+        print(f"{n_triples} triples -> {graph_path} (partitioned graph table)")
+        if n_triples > args.ttl_budget and not args.force_ttl:
+            print(
+                f"refusing to serialize {n_triples:,} triples to one Turtle "
+                f"file (budget {args.ttl_budget:,}; driver-side collect): the "
+                f"graph table above is the scalable output — pass --force-ttl "
+                "to override"
+            )
+            return
+        rows = [
+            (r["subj"], r["pred"], r["obj"], r["obj_dt"])
+            for r in committed.select("subj", "pred", "obj", "obj_dt").collect()
+        ]
+    else:
+        # single mode: one page's triples — collect ONCE (the turtle writer
+        # materializes every row on the driver anyway, so counting separately
+        # would execute the whole lazy pipeline twice)
+        rows = [
+            (r["subj"], r["pred"], r["obj"], r["obj_dt"])
+            for r in triples.select("subj", "pred", "obj", "obj_dt").collect()
+        ]
+        n_triples = len(rows)
         # reference prints extracted/total list elements (listExtractor.py:102);
         # extract_metrics honors the -c res_classes override
         from list_extractor_spark.engine.extract import extract_metrics
@@ -133,11 +172,9 @@ def main():
         m = extract_metrics(docs).first()
         print(f"Total elements extracted: {m['n_extracted']}/{m['n_items']}")
 
-    os.makedirs(args.out_dir, exist_ok=True)
     if n_triples:  # reference serializes only non-empty graphs (:149)
         from list_extractor_spark.engine.sinks import to_turtle
 
-        stamp = time.strftime("%Y_%m_%d")
         out = os.path.join(
             args.out_dir, f"ListExtractor_{args.source}_{args.language}_{stamp}.ttl"
         )

@@ -98,3 +98,44 @@ def test_reference_compat_cli(spark, tmp_path):
     (ttl,) = glob.glob(out_dir + "/ListExtractor_Writer_en_*.ttl")
     text = open(ttl).read()
     assert "@prefix dbo:" in text and "dbo:author" in text
+
+
+def test_compat_cli_class_mode_bounds_turtle_collect(spark, tmp_path):
+    """Class mode's safety rail: the partitioned graph table is always
+    written; past the ttl budget the driver-side Turtle collect is REFUSED
+    with a pointer at --force-ttl, and --force-ttl restores it."""
+    import glob
+    import subprocess
+    import sys
+
+    from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA
+    from list_extractor_spark.fixtures import corpus_to_rows, make_corpus
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        corpus_to_rows(make_corpus(8, hub_every=0)), schema=DOCUMENTS_SCHEMA
+    ).write.parquet(docs_dir)
+
+    def run(out, *extra):
+        return subprocess.run(
+            [sys.executable, "scripts/list_extractor.py", "a", "Writer", "en",
+             "--input", docs_dir, "--out-dir", out, "--ttl-budget", "1", *extra],
+            capture_output=True, text=True, timeout=240, cwd="/root/repo",
+        )
+
+    out_a = str(tmp_path / "refused")
+    res = run(out_a)
+    assert res.returncode == 0, res.stderr[-800:]
+    assert "refusing to serialize" in res.stdout and "--force-ttl" in res.stdout
+    (graph_dir,) = glob.glob(out_a + "/graph_Writer_en_*[!e]")  # not _lineage
+    assert spark.read.parquet(graph_dir).count() > 1
+    assert glob.glob(graph_dir + "_lineage/*.parquet") or glob.glob(
+        graph_dir + "_lineage/*/*.parquet"
+    )
+    assert not glob.glob(out_a + "/*.ttl")
+
+    out_b = str(tmp_path / "forced")
+    res = run(out_b, "--force-ttl")
+    assert res.returncode == 0, res.stderr[-800:]
+    (ttl,) = glob.glob(out_b + "/ListExtractor_Writer_en_*.ttl")
+    assert "dbo:author" in open(ttl).read()
