@@ -15,9 +15,15 @@ fans out per matching pair before taking the max).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 _SIDE = "_asof_side"
+
+
+def _bq(name: str) -> str:
+    """Backtick-quote a column NAME so dots/spaces resolve as the literal
+    column, never as nested-field access."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def asof_join(
@@ -50,17 +56,25 @@ def asof_join(
             "rename before asof_join"
         )
     carry = "_asof_row"
+    reserved = {_SIDE, carry} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} collide with asof_join internals; "
+            "rename before asof_join"
+        )
+    # build the carry type as a DataType object, not a DDL string — payload
+    # names needing backtick quoting (spaces, dots, colons) would produce an
+    # unparseable simpleString cast
+    carry_type = T.StructType([right.schema[c] for c in payloads])
     l = left.withColumn(_SIDE, F.lit(1)).withColumn(
-        carry,
-        F.lit(None).cast(
-            "struct<" + ", ".join(
-                f"{c}: {right.schema[c].dataType.simpleString()}" for c in payloads
-            ) + ">",
-        ),
+        carry, F.lit(None).cast(carry_type)
     )
     r = (
         right.filter(F.col(ts).isNotNull())
-        .select(key, ts, F.struct(*payloads).alias(carry))
+        .select(
+            key, ts,
+            F.struct(*[F.col(_bq(c)).alias(c) for c in payloads]).alias(carry),
+        )
         .withColumn(_SIDE, F.lit(0))
     )
     for c in left.columns:
@@ -79,5 +93,5 @@ def asof_join(
     u = u.withColumn(carry, F.last(F.when(F.col(_SIDE) == 0, F.col(carry)), True).over(w))
     out = u.filter(F.col(_SIDE) == 1)
     for c in payloads:
-        out = out.withColumn(c, F.col(f"{carry}.{c}"))
+        out = out.withColumn(c, F.col(carry).getField(c))  # dotted-name safe
     return out.drop(_SIDE, carry)

@@ -440,3 +440,29 @@ def test_refresh_rollup_rewrites_only_invalidated_day_partitions(spark, tmp_path
     want = {key(r): (r["n_events"], r["sum_value"])
             for r in daily_from_rollup(spark, full).collect()}
     assert got == want and got
+
+
+def test_asof_join_exotic_payload_names_and_reserved_guard(spark):
+    """Payload columns whose names need backtick quoting (spaces, dots) must
+    survive the struct carry (DataType-built, getField access), and inputs
+    already containing the internal _asof_* columns must be rejected."""
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+
+    from list_extractor_spark.tda.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", dt(2024, 1, 2))], "key string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", dt(2024, 1, 1), 7, "x")],
+        "key string, ts timestamp, `my value` int, `a.b` string",
+    )
+    (row,) = asof_join(left, right, "key", "ts", ["my value", "a.b"]).collect()
+    assert row["my value"] == 7 and row["a.b"] == "x"
+
+    with _pytest.raises(ValueError, match="_asof_side"):
+        asof_join(left.withColumn("_asof_side", F.lit(1)), right, "key", "ts", ["a.b"])
+    with _pytest.raises(ValueError, match="_asof_row"):
+        asof_join(left, right.withColumn("_asof_row", F.lit(1)), "key", "ts", ["a.b"])
