@@ -66,3 +66,21 @@ def test_chained_multi_arg_hash_matches_spark(spark):
     assert got == [spark_hash(s, 7) for s in STRINGS]
     d4 = spark.createDataFrame([(1, 2, 3, 4)], "a int, b int, c int, d int")
     assert d4.select(F.hash("a", "b", "c", "d")).first()[0] == spark_hash(1, 2, 3, 4)
+
+
+def test_vectorized_xxh64_grams_matches_scalar_replica():
+    """_xxh64_grams_ascii must be bit-exact with the scalar xxh64_str replica
+    (itself bit-exact with F.xxhash64) for every sliding k-gram, across gram
+    lengths hitting the 8-byte-round / 4-byte-chunk / tail-byte code paths."""
+    import numpy as np
+
+    from list_extractor_spark.fixtures.spark_hash import xxh64_str
+    from list_extractor_spark.tda.textstats import _xxh64_grams_ascii
+
+    rng = np.random.RandomState(3)
+    s = "".join(chr(c) for c in rng.randint(32, 127, size=200))
+    buf = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+    for k in (4, 5, 7, 8, 9, 12, 16, 20, 31):
+        got = _xxh64_grams_ascii(buf, k)
+        want = [xxh64_str(s[i : i + k]) for i in range(len(s) - k + 1)]
+        assert got.tolist() == want, f"k={k}"

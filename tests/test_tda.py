@@ -466,3 +466,22 @@ def test_asof_join_exotic_payload_names_and_reserved_guard(spark):
         asof_join(left.withColumn("_asof_side", F.lit(1)), right, "key", "ts", ["a.b"])
     with _pytest.raises(ValueError, match="_asof_row"):
         asof_join(left, right.withColumn("_asof_row", F.lit(1)), "key", "ts", ["a.b"])
+
+
+def test_winnow_posting_arrow_equals_window_form(spark):
+    """The shuffle-free mapInPandas winnowing must produce the IDENTICAL
+    (doc_id, fp) set as the explode+window form, including a non-ASCII doc
+    (per-gram fallback) and a too-short doc (dropped by both)."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).limit(50)
+    extra = spark.createDataFrame(
+        [("nonascii", "café résumé naïve déjà vu encore une fois"),
+         ("short", "tiny")],
+        schema="doc_id string, text string",
+    )
+    docs = base.unionByName(extra)
+    a = {(r["doc_id"], r["fp"]) for r in textstats.winnow_posting_window(docs).collect()}
+    b = {(r["doc_id"], r["fp"]) for r in textstats.winnow_posting_arrow(docs).collect()}
+    assert a == b and any(d == "nonascii" for d, _ in b)
+    assert not any(d == "short" for d, _ in b)
