@@ -445,6 +445,22 @@ def _sim_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk_bucketed(spark, path, _query_vector(sf_dir), planes, k=10)
 
 
+def _sim_lsh_topk_multiprobe(spark, sf_dir):
+    # multi-probe serving (tda/similarity.query_buckets): the query bucket
+    # plus the 2 nearest-margin bit-flip neighbors, still a partition-pruned
+    # scan (3 of 64 bucket= dirs) — the measured-recall knob
+    # (tests/test_ann_recall.py: 0.475 single -> 0.863 at 4 probes)
+    import tempfile
+
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    planes = similarity.make_planes(64, n_planes=6)
+    path = tempfile.mkdtemp(prefix="sg_lsh_mp_")
+    similarity.write_bucketed_embeddings(emb, planes, path)
+    return similarity.lsh_topk_bucketed(
+        spark, path, _query_vector(sf_dir), planes, k=10, n_probe_buckets=3
+    )
+
+
 def _sim_ivf_topk(spark, sf_dir):
     # IVF ANN, scale serving shape: deterministic Lloyd coarse quantizer,
     # cells materialized ONCE partitioned by centroid_id, probe = partition-
@@ -681,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprint": _text_winnow_fingerprint,
         "sim_topk": _sim_topk,
         "sim_lsh_topk": _sim_lsh_topk,
+        "sim_lsh_topk_multiprobe": _sim_lsh_topk_multiprobe,
         "sim_ivf_topk": _sim_ivf_topk,
         "sim_near_dup": _sim_near_dup,
         "sim_near_dup_lsh": _sim_near_dup_lsh,

@@ -380,17 +380,20 @@ def _plane_sql(plane) -> str:
     return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
 
 
-def lsh_topk_sql(sf_dir: str, dim: int = 64, n_planes: int = 6, k: int = 10) -> str:
+def lsh_topk_sql(
+    sf_dir: str, dim: int = 64, n_planes: int = 6, k: int = 10,
+    n_probe_buckets: int = 1,
+) -> str:
     import duckdb
 
-    from ..tda.similarity import make_planes, query_bucket
+    from ..tda.similarity import make_planes, query_buckets
 
     planes = make_planes(dim, n_planes=n_planes)
     (qvec,) = duckdb.sql(
         f"SELECT embedding FROM '{os.path.join(sf_dir, 'embeddings.parquet')}' "
         "WHERE vec_id = 0"
     ).fetchone()
-    qb = query_bucket([float(x) for x in qvec], planes)
+    qbs = query_buckets([float(x) for x in qvec], planes, n_probe_buckets)
     bucket_expr = " + ".join(
         f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_plane_sql(p)})"
         f" > 0 THEN {1 << i} ELSE 0 END)"
@@ -407,7 +410,7 @@ def lsh_topk_sql(sf_dir: str, dim: int = 64, n_planes: int = 6, k: int = 10) -> 
                      / (sqrt(list_dot_product(embedding, embedding))
                         * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
         FROM b, q
-        WHERE bucket = {qb}
+        WHERE bucket IN ({", ".join(str(b) for b in qbs)})
         ORDER BY cos_sim DESC, vec_id ASC
         LIMIT {k}
     """
@@ -557,6 +560,7 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
             [("doc_id", "VARCHAR"), ("n_fp", "BIGINT"), ("fp_xor", "BIGINT")],
         ),
         "sim_lsh_topk": lsh_topk_sql(sf_dir),
+        "sim_lsh_topk_multiprobe": lsh_topk_sql(sf_dir, n_probe_buckets=3),
         "sim_near_dup_lsh": near_dup_lsh_sql(),
         "sim_ivf_topk": ivf_topk_sql(sf_dir),
     }
