@@ -407,6 +407,19 @@ def _text_quality(spark, sf_dir):
     return textstats.quality_scores(_load(spark, sf_dir, "documents"))
 
 
+def _dedup_winnow_overlap(spark, sf_dir):
+    # MOSS report join (tda/dedup.winnow_overlap_pairs): partial-overlap
+    # pairs from shared winnowing fingerprints, hub-fp cap mirrored in the
+    # python-replica VALUES oracle (sf0.01 is templated: top fp df=392/500)
+    return dedup.winnow_overlap_pairs(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        min_shared=3,
+        fp_cap=10,
+    )
+
+
 def _text_winnow_fingerprint(spark, sf_dir):
     # rolling-hash winnowing (MOSS): partial-overlap fingerprints, folded to
     # a per-doc (set size, xor) signature so the oracle VALUES stays compact
@@ -690,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_shingle_jaccard": _dedup_shingle_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
+        "dedup_winnow_overlap": _dedup_winnow_overlap,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,

@@ -376,6 +376,44 @@ def winnow_signature_rows(sf_dir: str, k: int = 8, w: int = 4):
     return sorted(rows)
 
 
+def winnow_overlap_rows(
+    sf_dir: str, k: int = 8, w: int = 4, min_shared: int = 2,
+    fp_cap: int | None = None,
+):
+    """Mirrors tda/dedup.winnow_overlap_pairs: per-doc winnowing fingerprint
+    sets (same replica as winnow_signature_rows), hub fingerprints capped at
+    fp_cap docs, pair intersections >= min_shared, overlap = n_shared /
+    min(n_a, n_b) with sizes from the UNCAPPED sets (the _cap_postings
+    discipline: denominators stay exact)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    docs: dict[str, set] = {}
+    for doc_id, text in _sf_documents(sf_dir):
+        t = re.sub("[ \t\n\x0b\f\r]+", " ", text.lower())
+        if len(t) < k:
+            continue
+        hs = [xxh64_str(t[i : i + k]) for i in range(len(t) - k + 1)]
+        sel = {min(hs[i - w + 1 : i + 1]) for i in range(w - 1, len(hs))}
+        if sel:
+            docs[doc_id] = sel
+    inv = defaultdict(list)
+    for d, s in docs.items():
+        for fp in s:
+            inv[fp].append(d)
+    shared: dict[tuple, int] = defaultdict(int)
+    for fp, ds in inv.items():
+        if fp_cap and len(ds) > fp_cap:
+            continue
+        for a, b in combinations(sorted(ds), 2):
+            shared[(a, b)] += 1
+    return sorted(
+        (a, b, c, _round_half_up(c / min(len(docs[a]), len(docs[b])), 6))
+        for (a, b), c in shared.items()
+        if c >= min_shared
+    )
+
+
 def _plane_sql(plane) -> str:
     return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
 
@@ -558,6 +596,11 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
         "text_winnow_fingerprint": values_sql(
             winnow_signature_rows(sf_dir),
             [("doc_id", "VARCHAR"), ("n_fp", "BIGINT"), ("fp_xor", "BIGINT")],
+        ),
+        "dedup_winnow_overlap": values_sql(
+            winnow_overlap_rows(sf_dir, min_shared=3, fp_cap=10),
+            [("doc_a", "VARCHAR"), ("doc_b", "VARCHAR"),
+             ("n_shared", "BIGINT"), ("overlap", "DOUBLE")],
         ),
         "sim_lsh_topk": lsh_topk_sql(sf_dir),
         "sim_lsh_topk_multiprobe": lsh_topk_sql(sf_dir, n_probe_buckets=3),

@@ -485,3 +485,29 @@ def test_winnow_posting_arrow_equals_window_form(spark):
     b = {(r["doc_id"], r["fp"]) for r in textstats.winnow_posting_arrow(docs).collect()}
     assert a == b and any(d == "nonascii" for d, _ in b)
     assert not any(d == "short" for d, _ in b)
+
+
+def test_winnow_overlap_pairs_finds_lifted_paragraph(spark):
+    """A document that LIFTS a substring from another (classic partial
+    overlap: different lengths, shared span) must surface as a pair with
+    high containment overlap; unrelated docs must not pair."""
+    from list_extractor_spark.tda.dedup import winnow_overlap_pairs
+
+    src = ("The quarterly revenue figures exceeded expectations across "
+           "all divisions of the company this fiscal year.")
+    docs = spark.createDataFrame(
+        [
+            ("orig", src),
+            ("lifted", "Completely new framing paragraph. " + src
+             + " And an unrelated closing remark follows here."),
+            ("other", "Umbrella weather patterns differ sharply between "
+             "coastal regions and inland plateaus during monsoon season."),
+        ],
+        schema="doc_id string, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in
+             winnow_overlap_pairs(docs, min_shared=2).collect()}
+    assert ("lifted", "orig") in pairs
+    row = pairs[("lifted", "orig")]
+    assert row["overlap"] >= 0.5  # most of orig's fingerprints are contained
+    assert not any("other" in p for p in pairs)
