@@ -69,8 +69,18 @@ def main():
 
 
 def _update_baseline_md(res, low, high):
+    """Rewrite ONLY the leading scaling block; every section from the first
+    '## ' heading on (ANN recall, A/B notes, scale-up smoke, ...) is
+    preserved verbatim — an earlier version overwrote the whole file and ate
+    the hand-written sections."""
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("\n## ")
+        if i != -1:
+            tail = old[i:]
     lines = [
         "# BENCH/BASELINE — measured throughput & scaling",
         "",
@@ -103,7 +113,7 @@ def _update_baseline_md(res, low, high):
         "```",
     ]
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print(f"wrote {path}")
 
 
