@@ -608,6 +608,48 @@ def _stream_windowed_events(spark, sf_dir):
     )
 
 
+def _stream_hypertable_rollup(spark, sf_dir):
+    """Continuous-aggregate MAINTENANCE as a stream: foreachBatch appends
+    each micro-batch to the raw hypertable and incrementally refreshes only
+    the invalidated day partitions (streaming/stream_rollup.py) — three
+    micro-batches with the last one carrying late data for an early day.
+    The oracle is the one-pass daily SQL over raw events: equality proves
+    the streamed refresh loop converges exactly."""
+    import tempfile
+
+    from list_extractor_spark.streaming.stream_rollup import stream_rollup_refresh
+    from list_extractor_spark.tda.hypertable import daily_from_rollup
+
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_streamroll_src_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(src, "_BATCHES_STAGED")):
+        events = _load(spark, sf_dir, "events")
+        late = (F.to_date("ts") == "2024-01-05") & (F.col("event_id") % 2 == 0)
+        for b in (
+            events.filter((F.to_date("ts") < "2024-01-15") & ~late),
+            events.filter(F.to_date("ts") >= "2024-01-15"),
+            events.filter(late),  # late arrivals for an already-refreshed day
+        ):
+            b.coalesce(1).write.mode("append").parquet(src)
+        open(os.path.join(src, "_BATCHES_STAGED"), "w").close()
+    stream = (
+        spark.readStream.schema(_load(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    raw = tempfile.mkdtemp(prefix="sg_streamroll_raw_")
+    rollup = tempfile.mkdtemp(prefix="sg_streamroll_rollup_")
+    ck = tempfile.mkdtemp(prefix="sg_streamroll_ck_")
+    q = stream_rollup_refresh(stream, raw, rollup, ck)
+    q.awaitTermination()
+    return daily_from_rollup(spark, rollup).select(
+        F.col("day").cast("string").alias("day"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
 def _stream_stateful_dedup(spark, sf_dir):
     """applyInPandasWithState exact dedup over a duplicate-injected fixture
     stream (single availableNow batch over one staged file -> deterministic)."""
@@ -723,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kg_extract": _stream_kg_extract,
         "stream_kg_canonical": _stream_kg_canonical,
         "stream_windowed_events": _stream_windowed_events,
+        "stream_hypertable_rollup": _stream_hypertable_rollup,
         "stream_stateful_dedup": _stream_stateful_dedup,
     }
 

@@ -656,6 +656,17 @@ def kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             [("doc_id", "VARCHAR")] + _TRIPLE_COLS,
         ),
         "stream_windowed_events": STREAM_WINDOWED_EVENTS_SQL,
+        # streamed base+incremental-refresh rollup must converge to the
+        # one-pass daily aggregate (same decimal accumulation as the batch
+        # q_hypertable_rollup oracle)
+        "stream_hypertable_rollup": """
+            SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
         "stream_stateful_dedup": values_sql(
             stream_stateful_dedup_rows(),
             [("text_hash", "VARCHAR"), ("doc_id", "VARCHAR"), ("kept", "BOOLEAN"),

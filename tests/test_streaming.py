@@ -233,3 +233,57 @@ def test_stateful_dedup_ttl_evicts_idle_hashes(spark, tmp_path):
     assert out["x2"]["kept"] is True and out["x2"]["n_seen"] == 1
     # Y set ~seconds ago (inside TTL) -> still deduped
     assert out["y2"]["kept"] is False and out["y2"]["n_seen"] == 2
+
+
+@pytest.mark.timeout(300)
+def test_stream_rollup_refresh_converges_with_late_data(spark, tmp_path):
+    """foreachBatch rollup maintenance: three micro-batches (early days,
+    later days, then LATE data for an old day) must leave the materialized
+    hourly rollup exactly equal to a one-pass aggregate over all raw events,
+    with each refresh rewriting only the invalidated day partitions."""
+    from pyspark.sql import functions as F
+
+    from list_extractor_spark.streaming.stream_rollup import stream_rollup_refresh
+    from list_extractor_spark.tda.hypertable import daily_from_rollup
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "in")
+    late = (F.to_date("ts") == "2024-01-05") & (F.col("event_id") % 2 == 0)
+    batches = [
+        events.filter((F.to_date("ts") < "2024-01-15") & ~late),
+        events.filter(F.to_date("ts") >= "2024-01-15"),
+        events.filter(late),  # late arrivals for an already-rolled-up day
+    ]
+    for b in batches:  # one file each => one micro-batch each
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    raw, rollup, ck = (str(tmp_path / d) for d in ("raw", "rollup", "ck"))
+    q = stream_rollup_refresh(stream, raw, rollup, ck)
+    q.awaitTermination(240)
+
+    key = lambda r: (str(r["day"]), r["event_type"])  # noqa: E731
+    got = {key(r): (r["n_events"], r["sum_value"])
+           for r in daily_from_rollup(spark, rollup).collect()}
+    want = {
+        (str(r["d"]), r["event_type"]): (r["n"], r["s"])
+        for r in events.groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4)
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == want and got
+    # raw table carries one partition dir per micro-batch (idempotent form)
+    import os
+
+    assert sorted(d for d in os.listdir(raw) if d.startswith("batch_id=")) == [
+        "batch_id=0", "batch_id=1", "batch_id=2",
+    ]
