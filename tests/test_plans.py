@@ -292,3 +292,16 @@ def test_asof_join_is_one_window_no_join_operator(spark):
                     "ShuffledHashJoin", "Cartesian"):
         assert join_op not in plan, join_op
     assert "Window" in plan
+
+
+def test_winnow_overlap_pairs_is_capped_equi_join(spark):
+    """The MOSS report join must stay an equi-join on the fingerprint (no
+    nested-loop/cartesian fallback) with the hub cap's window reusing the
+    fingerprint partitioning."""
+    from list_extractor_spark.tda.dedup import winnow_overlap_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    plan = _plan(winnow_overlap_pairs(docs, min_shared=3, fp_cap=10))
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan

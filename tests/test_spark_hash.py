@@ -84,3 +84,41 @@ def test_vectorized_xxh64_grams_matches_scalar_replica():
         got = _xxh64_grams_ascii(buf, k)
         want = [xxh64_str(s[i : i + k]) for i in range(len(s) - k + 1)]
         assert got.tolist() == want, f"k={k}"
+
+
+def test_vectorized_xxh64_grams_property(spark):
+    """Property gate: for arbitrary ASCII text and gram length, the
+    vectorized hash must equal BOTH the scalar replica and Spark's own
+    F.xxhash64 on the exploded substrings."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+
+    from list_extractor_spark.fixtures.spark_hash import xxh64_str
+    from list_extractor_spark.tda.textstats import _xxh64_grams_ascii
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                  min_size=8, max_size=120),
+        k=st.integers(min_value=4, max_value=31),
+    )
+    def check(s, k):
+        if len(s) < k:
+            return
+        buf = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+        got = _xxh64_grams_ascii(buf, k).tolist()
+        assert got == [xxh64_str(s[i : i + k]) for i in range(len(s) - k + 1)]
+
+    check()
+
+    # one Spark-side anchor (the replica itself is F.hash-verified elsewhere,
+    # but pin the vectorized path to the JVM directly too)
+    from pyspark.sql import functions as F
+
+    s = "anchor string for the spark-side xxhash64 cross-check!"
+    k = 9
+    rows = spark.createDataFrame(
+        [(s[i : i + k],) for i in range(len(s) - k + 1)], "g string"
+    ).select(F.xxhash64("g").alias("h")).collect()
+    buf = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+    assert [r["h"] for r in rows] == _xxh64_grams_ascii(buf, k).tolist()
