@@ -407,6 +407,37 @@ def _text_quality(spark, sf_dir):
     return textstats.quality_scores(_load(spark, sf_dir, "documents"))
 
 
+def _text_hash_split(spark, sf_dir):
+    # deterministic md5-bucket split assignment (tda/sampling.hash_split):
+    # content-stable train/val/test membership recomputable by ANY engine
+    from list_extractor_spark.tda.sampling import hash_split
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    return hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+def _text_pack_documents(spark, sf_dir):
+    # token-budget sequence packing (tda/sampling.pack_documents), range-
+    # parallel form (n_ranges=4: four independent running sums, no
+    # single-task global window)
+    from list_extractor_spark.tda.sampling import pack_documents
+    from list_extractor_spark.tda.textstats import token_counts
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    toks = token_counts(docs).select(
+        "doc_id", F.col("n_ws_tokens").cast("long").alias("n_tokens")
+    )
+    return pack_documents(toks, budget_tokens=512, n_ranges=4).select(
+        "doc_id", "n_tokens", "pack_id"
+    )
+
+
 def _dedup_winnow_overlap(spark, sf_dir):
     # MOSS report join (tda/dedup.winnow_overlap_pairs): partial-overlap
     # pairs from shared winnowing fingerprints, hub-fp cap mirrored in the
@@ -751,6 +782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
         "text_winnow_fingerprint": _text_winnow_fingerprint,
+        "text_hash_split": _text_hash_split,
+        "text_pack_documents": _text_pack_documents,
         "sim_topk": _sim_topk,
         "sim_lsh_topk": _sim_lsh_topk,
         "sim_lsh_topk_multiprobe": _sim_lsh_topk_multiprobe,
@@ -924,6 +957,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0)
                         AS BIGINT) AS n_bpe_est
             FROM documents
+        """,
+        # 16-bit md5 bucket, decoded hex-digit by hex-digit (portable SQL —
+        # the whole point of hash_split using md5 over engine-native hashes);
+        # boundaries are python-computed literals so neither engine rounds
+        "text_hash_split": f"""
+            WITH b AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                     AS bucket
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN bucket < {int(round(0.9 * 65536))} THEN 'train'
+                        WHEN bucket < {int(round(0.95 * 65536))} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "text_pack_documents": r"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                         AS n_tokens,
+                     ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 4
+                       AS rng
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY rng
+                                 ORDER BY n_tokens DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+                              / 512.0) * 4 + rng AS BIGINT) AS pack_id
+            FROM t
         """,
         "text_quality": r"""
             SELECT doc_id,

@@ -1,0 +1,89 @@
+"""Dataset-assembly operators for training pipelines: deterministic split
+assignment and token-budget sequence packing.
+
+Both are pure codegen expressions (no UDFs, no shuffles beyond the ones the
+semantics require) and both are deterministic functions of the data — the
+properties a 100-TB training-data pipeline needs so that re-running a job,
+adding a shard, or re-partitioning the input NEVER moves a document across
+the train/eval boundary or reshuffles pack membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_SPLIT_BUCKETS = 1 << 16  # 4 hex chars of md5: plenty of resolution for splits
+
+
+def _bucket16(col):
+    """Stable 16-bit bucket from md5(doc_id): first 4 hex chars decoded.
+
+    md5 (not Spark's hash/xxhash64) on purpose: every engine computes the
+    same value, so the oracle — and any downstream system auditing the split
+    — can recompute membership in plain SQL."""
+    hx = F.substring(F.md5(col), 1, 4)
+    digit = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
+    )
+    return digit(1) * 4096 + digit(2) * 256 + digit(3) * 16 + digit(4)
+
+
+def hash_split(documents: DataFrame, splits: dict[str, float],
+               key: str = "doc_id") -> DataFrame:
+    """Assign every document to a named split by hashing ``key``: content-
+    stable (a doc keeps its split across runs, re-shards, and corpus growth),
+    leakage-free (membership depends only on the doc's own key), and exact
+    in expectation (fractions partition the 16-bit bucket space by cumulative
+    ranges).  ``splits`` fractions must sum to 1 (e.g. {"train": .9,
+    "val": .05, "test": .05})."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = _bucket16(F.col(key))
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        bound = int(round(acc * _SPLIT_BUCKETS))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return documents.withColumn("split", expr)
+
+
+def pack_documents(documents: DataFrame, budget_tokens: int,
+                   token_col: str = "n_tokens", n_ranges: int = 1) -> DataFrame:
+    """Assign a ``pack_id`` grouping documents into ~budget_tokens bins for
+    sequence packing: within each range, order deterministically by (token
+    count desc, doc_id), take a running token total, and cut packs at
+    floor((cumsum - tokens) / budget).
+
+    This is the cumulative-sum approximation standard in data pipelines: a
+    boundary document may straddle two budgets (downstream chunkers split at
+    sequence boundaries anyway), but every pack's INTERIOR is within budget
+    and the assignment is a deterministic function of the corpus.
+
+    ``n_ranges=1`` is exact global packing — but a global running-sum window
+    serializes into ONE task, the classic scale cliff.  ``n_ranges=R``
+    shards documents by a stable md5 bucket of doc_id and packs each shard
+    independently (window partitionBy range → R parallel tasks, one
+    shuffle); pack ids stay globally unique and deterministic via
+    ``local_pack * R + range``.  At 10^8+ docs pick R ~ cores so each
+    running sum handles corpus/R rows."""
+    if n_ranges < 1:
+        raise ValueError("n_ranges must be >= 1")
+    rng = _bucket16(F.col("doc_id")) % n_ranges
+    d = documents.withColumn("_rng", rng)
+    w = Window.partitionBy("_rng").orderBy(
+        F.col(token_col).desc(), F.col("doc_id").asc()
+    )
+    cum = F.sum(token_col).over(w)
+    local = F.floor((cum - F.col(token_col)) / F.lit(budget_tokens))
+    return d.withColumn(
+        "pack_id", local * F.lit(n_ranges) + F.col("_rng")
+    ).drop("_rng")

@@ -511,3 +511,58 @@ def test_winnow_overlap_pairs_finds_lifted_paragraph(spark):
     row = pairs[("lifted", "orig")]
     assert row["overlap"] >= 0.5  # most of orig's fingerprints are contained
     assert not any("other" in p for p in pairs)
+
+
+def test_hash_split_stable_and_leakage_free(spark):
+    """Split membership must be a pure function of the doc's own key:
+    identical across recomputation, partitioning, and corpus growth (adding
+    docs never moves an existing doc across the train/eval boundary), with
+    fractions roughly respected."""
+    from list_extractor_spark.tda.sampling import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, splits).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(docs.repartition(7), splits).collect()}
+    assert a == b
+    sub = {r["doc_id"]: r["split"]
+           for r in hash_split(docs.limit(20), splits).collect()}
+    assert all(a[d] == s for d, s in sub.items())  # growth-stable
+    frac_train = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.84 <= frac_train <= 0.96
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_pack_documents_budget_bound_and_determinism(spark):
+    """Every pack's token total must stay within budget + one boundary doc
+    (the cumulative-sum guarantee), ids must be deterministic under
+    repartitioning, and the range-parallel form must hold the same bound
+    per pack."""
+    from list_extractor_spark.tda.sampling import pack_documents
+    from list_extractor_spark.tda.textstats import token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    toks = token_counts(docs).select(
+        "doc_id", F.col("n_ws_tokens").cast("long").alias("n_tokens")
+    )
+    budget = 256
+    for n_ranges in (1, 4):
+        packed = pack_documents(toks, budget, n_ranges=n_ranges)
+        agg = packed.groupBy("pack_id").agg(
+            F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("biggest")
+        ).collect()
+        assert agg
+        for r in agg:
+            assert r["total"] <= budget + r["biggest"], r
+        again = pack_documents(toks.repartition(5), budget, n_ranges=n_ranges)
+        assert {(r["doc_id"], r["pack_id"]) for r in packed.collect()} == {
+            (r["doc_id"], r["pack_id"]) for r in again.collect()
+        }
