@@ -407,6 +407,23 @@ def _text_quality(spark, sf_dir):
     return textstats.quality_scores(_load(spark, sf_dir, "documents"))
 
 
+def _dedup_decontaminate(spark, sf_dir):
+    # eval-set contamination scan (tda/dedup.decontaminate): eval = a
+    # deterministic corpus slice (doc_id % 29 == 3) re-keyed e<id>, so the
+    # expected output contains each eval doc's self-match plus any template
+    # cross-matches; broadcast of the eval posting is the DESIGNED broadcast
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    ev = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 29 == 3)
+        .select(F.concat(F.lit("e"), F.col("doc_id").cast("string")).alias("doc_id"),
+                "text")
+    )
+    return dedup.decontaminate(docs, ev, n=5, min_hits=3)
+
+
 def _text_hash_split(spark, sf_dir):
     # deterministic md5-bucket split assignment (tda/sampling.hash_split):
     # content-stable train/val/test membership recomputable by ANY engine
@@ -777,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_winnow_overlap": _dedup_winnow_overlap,
+        "dedup_decontaminate": _dedup_decontaminate,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,
@@ -933,6 +951,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING round(count(*) / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.2
+        """,
+        "dedup_decontaminate": r"""
+            WITH tr AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), trs AS (
+              SELECT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+              FROM tr, unnest(generate_series(1, len(t)-4)) AS u(i)
+              WHERE len(t) >= 5
+            ), ev AS (
+              SELECT 'e' || CAST(doc_id AS VARCHAR) AS eval_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents WHERE doc_id % 29 = 3
+            ), evs AS (
+              SELECT DISTINCT eval_id, array_to_string(t[i:i+4], ' ') AS sh
+              FROM ev, unnest(generate_series(1, len(t)-4)) AS u(i)
+              WHERE len(t) >= 5
+            )
+            SELECT trs.doc_id, evs.eval_id, count(DISTINCT trs.sh) AS n_hits
+            FROM trs JOIN evs USING (sh)
+            GROUP BY 1, 2
+            HAVING count(DISTINCT trs.sh) >= 3
         """,
         "text_lang_id": r"""
             WITH c AS (

@@ -402,3 +402,57 @@ def winnow_overlap_pairs(
         )
         .select("doc_a", "doc_b", "n_shared", "overlap")
     )
+
+
+def decontaminate(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Eval-set contamination scan — the decontamination step every LLM
+    training pipeline runs before training: a training document is flagged
+    when it shares >= ``min_hits`` DISTINCT n-token shingles with an eval
+    document.  Returns (doc_id, eval_id, n_hits).
+
+    Scale shape (the asymmetry is the whole design): the eval side is small
+    by nature — benchmarks are thousands of documents, the corpus is
+    billions — so its distinct shingle posting is broadcast (a HINTED
+    broadcast is correct here, unlike the per-document `sizes` tables the
+    Jaccard family must never hint).  The training side is NARROW: shingles
+    form via explode(sequence) + slice + array_join in the scan task (no
+    per-doc window, no posting shuffle), in-doc duplicate shingles are
+    handled by count(DISTINCT) partial aggregation, and the only exchange
+    carries matched (doc_id, eval_id, sh) rows — proportional to the
+    contamination, not the corpus."""
+    def shingles(df, id_col):
+        t = F.split(F.lower(F.trim("text")), r"\s+")
+        d = df.select(F.col(id_col), t.alias("t")).filter(F.size("t") >= n)
+        return d.select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1))).alias("pos"),
+            "t",
+        ).select(
+            id_col, F.array_join(F.slice("t", F.col("pos"), n), " ").alias("sh")
+        )
+
+    ev = (
+        shingles(eval_docs.select(F.col("doc_id").alias("eval_id"), "text"), "eval_id")
+        .distinct()
+    )
+    return (
+        shingles(documents, "doc_id")
+        .join(F.broadcast(ev), "sh")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count_distinct("sh").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def remove_contaminated(documents: DataFrame, contaminated: DataFrame) -> DataFrame:
+    """Drop every training document flagged by ``decontaminate`` (left-anti
+    join on doc_id — the big side stays unshuffled when the flagged set
+    broadcasts, which it does whenever contamination is rare)."""
+    return documents.join(
+        contaminated.select("doc_id").distinct(), "doc_id", "left_anti"
+    )

@@ -305,3 +305,28 @@ def test_winnow_overlap_pairs_is_capped_equi_join(spark):
     )
     plan = _plan(winnow_overlap_pairs(docs, min_shared=3, fp_cap=10))
     assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+
+
+def test_decontaminate_train_side_is_narrow_broadcast_probe(spark):
+    """The corpus side of the contamination scan must reach the broadcast
+    join WITHOUT an exchange (shingles form in the scan task; no per-doc
+    window, no posting shuffle): the plan's only exchange is the final
+    (doc_id, eval_id) aggregation over matched rows."""
+    from list_extractor_spark.tda.dedup import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    ev = docs.filter(F.col("doc_id") == "3").select(
+        F.concat(F.lit("e"), "doc_id").alias("doc_id"), "text"
+    )
+    plan = _plan(decontaminate(docs, ev, n=5, min_hits=1))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # the probe (corpus) subtree — printed between the join node and the
+    # build side's BroadcastExchange — must contain NO shuffle: scan ->
+    # generate -> project -> join.  The plan's exchanges sit on matched rows
+    # (count-distinct dedup + final agg) and the tiny eval distinct only.
+    probe = plan.split("BroadcastHashJoin")[-1].split("BroadcastExchange")[0]
+    assert "FileScan" in probe
+    assert "Exchange hashpartitioning" not in probe, probe
+    assert plan.count("Exchange hashpartitioning") == 3, plan

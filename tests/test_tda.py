@@ -566,3 +566,27 @@ def test_pack_documents_budget_bound_and_determinism(spark):
         assert {(r["doc_id"], r["pack_id"]) for r in packed.collect()} == {
             (r["doc_id"], r["pack_id"]) for r in again.collect()
         }
+
+
+def test_decontaminate_flags_verbatim_eval_overlap(spark):
+    """A training doc embedding an eval question verbatim must be flagged
+    (and removed by remove_contaminated); clean docs survive untouched."""
+    from list_extractor_spark.tda.dedup import decontaminate, remove_contaminated
+
+    ev_q = "what is the capital city of the republic of france"
+    train = spark.createDataFrame(
+        [
+            ("leaky", "Some scraped quiz page asks: " + ev_q + " and offers choices."),
+            ("clean", "A completely unrelated document about maritime navigation beacons "
+             "and their mandated luminosity standards."),
+        ],
+        schema="doc_id string, text string",
+    )
+    ev = spark.createDataFrame([("q1", ev_q)], "doc_id string, text string")
+    hits = {(r["doc_id"], r["eval_id"]): r["n_hits"]
+            for r in decontaminate(train, ev, n=5, min_hits=2).collect()}
+    assert ("leaky", "q1") in hits and hits[("leaky", "q1")] >= 2
+    assert not any(d == "clean" for d, _ in hits)
+    kept = [r["doc_id"] for r in
+            remove_contaminated(train, decontaminate(train, ev, n=5, min_hits=2)).collect()]
+    assert kept == ["clean"]
