@@ -424,6 +424,22 @@ def _dedup_decontaminate(spark, sf_dir):
     return dedup.decontaminate(docs, ev, n=5, min_hits=3)
 
 
+def _text_line_dedup(spark, sf_dir):
+    # within-doc repetition removal (tda/textstats.line_dedup, the Gopher
+    # line-dedup rule); the corpus has no newlines, so sentences become
+    # lines via a literal '. '->newline replace (mirrored in the oracle) —
+    # the templated corpus repeats sentences, making the dedup non-trivial
+    from list_extractor_spark.tda.textstats import line_dedup
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr("replace(text, '. ', '\n')").alias("text"),
+    )
+    return line_dedup(docs).select(
+        "doc_id", "text", "n_lines", "n_distinct_lines", "dup_line_ratio"
+    )
+
+
 def _text_hash_split(spark, sf_dir):
     # deterministic md5-bucket split assignment (tda/sampling.hash_split):
     # content-stable train/val/test membership recomputable by ANY engine
@@ -802,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fingerprint": _text_winnow_fingerprint,
         "text_hash_split": _text_hash_split,
         "text_pack_documents": _text_pack_documents,
+        "text_line_dedup": _text_line_dedup,
         "sim_topk": _sim_topk,
         "sim_lsh_topk": _sim_lsh_topk,
         "sim_lsh_topk_multiprobe": _sim_lsh_topk_multiprobe,
@@ -998,6 +1015,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0)
                         AS BIGINT) AS n_bpe_est
             FROM documents
+        """,
+        "text_line_dedup": """
+            WITH l AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     string_split(replace(text, '. ', chr(10)), chr(10)) AS ls
+              FROM documents
+            ), e AS (
+              SELECT doc_id, i AS pos, ls[i] AS line, len(ls) AS n_lines
+              FROM l, unnest(generate_series(1, len(ls))) AS u(i)
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id, line
+                                           ORDER BY pos) AS rn
+              FROM e
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                              ORDER BY pos) AS text,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_distinct_lines,
+                   round(1 - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                             / count(*), 6) AS dup_line_ratio
+            FROM r GROUP BY doc_id
         """,
         # 16-bit md5 bucket, decoded hex-digit by hex-digit (portable SQL —
         # the whole point of hash_split using md5 over engine-native hashes);

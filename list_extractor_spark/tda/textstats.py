@@ -255,3 +255,41 @@ def winnow_signatures(documents: DataFrame, k: int = 8, w: int = 4) -> DataFrame
             F.bit_xor("fp").alias("fp_xor"),
         )
     )
+
+
+def line_dedup(documents: DataFrame) -> DataFrame:
+    """Within-document repetition removal (the Gopher/RefinedWeb line-dedup
+    rule): drop every repeat of an already-seen line inside a document,
+    preserving first-occurrence order, and report the repetition signals
+    quality filters threshold on.
+
+    Output: (doc_id, text [deduped], n_lines, n_distinct_lines,
+    dup_line_ratio).  All JVM-side: posexplode the line array, keep the
+    first occurrence per (doc_id, line) with one per-doc window, reassemble
+    via sort_array(collect_list(struct(pos, line))).line — GetArrayStructFields
+    is codegen, so no interpreted transform() lambda (the measured HOF trap).
+    Two exchanges on line rows (window + groupBy), both keyed by doc_id."""
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    w = Window.partitionBy("doc_id", "line").orderBy("pos")
+    first = lines.withColumn("rn", F.row_number().over(w))
+    return (
+        first.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("pos", "line"))
+                    )
+                ).getField("line"),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_distinct_lines"),
+        )
+        .withColumn(
+            "dup_line_ratio",
+            F.round(1 - F.col("n_distinct_lines") / F.col("n_lines"), 6),
+        )
+    )

@@ -590,3 +590,23 @@ def test_decontaminate_flags_verbatim_eval_overlap(spark):
     kept = [r["doc_id"] for r in
             remove_contaminated(train, decontaminate(train, ev, n=5, min_hits=2)).collect()]
     assert kept == ["clean"]
+
+
+def test_line_dedup_removes_repeats_preserving_order(spark):
+    """Within-doc repeated lines are dropped keeping FIRST occurrences in
+    original order; clean docs pass through unchanged with ratio 0."""
+    from list_extractor_spark.tda.textstats import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("spam", "buy now\nlimited offer\nbuy now\nact fast\nbuy now"),
+            ("clean", "alpha\nbeta\ngamma"),
+        ],
+        schema="doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out["spam"]["text"] == "buy now\nlimited offer\nact fast"
+    assert out["spam"]["n_lines"] == 5 and out["spam"]["n_distinct_lines"] == 3
+    assert out["spam"]["dup_line_ratio"] == 0.4
+    assert out["clean"]["text"] == "alpha\nbeta\ngamma"
+    assert out["clean"]["dup_line_ratio"] == 0.0
