@@ -610,3 +610,33 @@ def test_line_dedup_removes_repeats_preserving_order(spark):
     assert out["spam"]["dup_line_ratio"] == 0.4
     assert out["clean"]["text"] == "alpha\nbeta\ngamma"
     assert out["clean"]["dup_line_ratio"] == 0.0
+
+
+def test_jsonl_loader_normalizes_and_feeds_tda_ops(spark, tmp_path):
+    """JSONL corpus (mixed field availability, malformed line, numeric ids)
+    must normalize to the flat documents contract without a schema-inference
+    pre-scan, and feed the tda operators directly."""
+    import json
+
+    from list_extractor_spark.sources.loaders import load_documents_jsonl
+    from list_extractor_spark.tda.textstats import token_counts
+
+    p = tmp_path / "corpus.jsonl"
+    rows = [
+        {"id": 1, "text": "the first document body", "lang": "en"},
+        {"id": 2, "text": "zweites dokument ohne sprache"},  # no lang field
+        {"id": 3, "text": None},           # null text -> dropped
+        {"text": "no id at all"},          # missing id -> dropped
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("{not json at all\n")       # malformed -> dropped
+    docs = load_documents_jsonl(spark, str(p))
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in docs.collect()}
+    assert got == {
+        "1": ("the first document body", "en"),
+        "2": ("zweites dokument ohne sprache", "en"),
+    }
+    counts = {r["doc_id"]: r["n_ws_tokens"] for r in token_counts(docs).collect()}
+    assert counts == {"1": 4, "2": 4}
