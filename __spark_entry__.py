@@ -424,6 +424,19 @@ def _dedup_decontaminate(spark, sf_dir):
     return dedup.decontaminate(docs, ev, n=5, min_hits=3)
 
 
+def _q_profile_events(spark, sf_dir):
+    # single-pass table profile (tda/profile.py), exact cardinality for the
+    # oracle; string/integer/timestamp columns only (double min/max string
+    # formatting differs across engines — documented trade)
+    from list_extractor_spark.tda.profile import profile
+
+    return profile(
+        _load(spark, sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+        exact=True,
+    )
+
+
 def _text_line_dedup(spark, sf_dir):
     # within-doc repetition removal (tda/textstats.line_dedup, the Gopher
     # line-dedup rule); the corpus has no newlines, so sentences become
@@ -801,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
         "q_hypertable_rollup": _q_hypertable_rollup,
+        "q_profile_events": _q_profile_events,
         "q_rollup": _q_rollup,
         "q_union_dedup": _q_union_dedup,
         # training-data ops
@@ -1015,6 +1029,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0)
                         AS BIGINT) AS n_bpe_est
             FROM documents
+        """,
+        "q_profile_events": """
+            SELECT 'event_id' AS "column", count(*) AS n_rows,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(min(event_id) AS VARCHAR) AS min_value,
+                   CAST(max(event_id) AS VARCHAR) AS max_value FROM events
+            UNION ALL
+            SELECT 'ts', count(*),
+                   CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT ts),
+                   CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR) FROM events
+            UNION ALL
+            SELECT 'user_id', count(*),
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT user_id),
+                   CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events
+            UNION ALL
+            SELECT 'event_type', count(*),
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT event_type),
+                   CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM events
         """,
         "text_line_dedup": """
             WITH l AS (

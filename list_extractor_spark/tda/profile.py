@@ -1,0 +1,46 @@
+"""Table profiling: the data-quality pass a 100-TB ingest runs before
+anything else — per-column null counts, cardinality, and min/max, computed
+in ONE aggregation over the table (no per-column jobs, no shuffle beyond the
+final single-row reduce) and returned long-form (one row per column).
+
+Cardinality modes: ``exact=False`` (default) uses approx_count_distinct
+(HyperLogLog++, constant memory per column — the only sane choice at
+billions of rows); ``exact=True`` uses count(DISTINCT ...), which Spark
+plans via EXPAND — row volume multiplies by the number of distinct aggs, so
+reserve it for small tables and oracle verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile(df: DataFrame, columns: list[str] | None = None,
+            exact: bool = False) -> DataFrame:
+    """-> (column, n_rows, n_nulls, n_distinct, min_value, max_value) per
+    profiled column; min/max are computed on the NATIVE type and cast to
+    string afterwards (lexicographic min of a stringified numeric would be
+    wrong)."""
+    cols = columns or df.columns
+    distinct = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c), F.col("__n"), F.col(f"{c}__nulls"),
+            F.col(f"{c}__distinct"), F.col(f"{c}__min"), F.col(f"{c}__max"),
+        ]
+    return one.select(
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("column", "n_rows", "n_nulls", "n_distinct", "min_value",
+                "max_value")
+    )

@@ -640,3 +640,30 @@ def test_jsonl_loader_normalizes_and_feeds_tda_ops(spark, tmp_path):
     }
     counts = {r["doc_id"]: r["n_ws_tokens"] for r in token_counts(docs).collect()}
     assert counts == {"1": 4, "2": 4}
+
+
+def test_profile_exact_and_approx_modes(spark):
+    """Single-pass profile: null counts exact, native-type min/max (NOT
+    lexicographic on stringified numerics), approx cardinality within HLL
+    tolerance of exact."""
+    from list_extractor_spark.tda.profile import profile
+
+    df = spark.createDataFrame(
+        [(9, "a"), (10, "b"), (100, None), (None, "b")],
+        schema="v long, s string",
+    )
+    exact = {r["column"]: r for r in profile(df, exact=True).collect()}
+    assert exact["v"]["n_nulls"] == 1 and exact["s"]["n_nulls"] == 1
+    assert exact["v"]["n_distinct"] == 3 and exact["s"]["n_distinct"] == 2
+    # native-type min/max: 9 < 10 < 100 numerically (lexicographic would
+    # give min "10", max "9")
+    assert exact["v"]["min_value"] == "9" and exact["v"]["max_value"] == "100"
+    assert exact["v"]["n_rows"] == 4
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ex = {r["column"]: r["n_distinct"]
+          for r in profile(ev, ["user_id", "event_type"], exact=True).collect()}
+    ap = {r["column"]: r["n_distinct"]
+          for r in profile(ev, ["user_id", "event_type"]).collect()}
+    for c in ex:
+        assert abs(ap[c] - ex[c]) <= max(2, 0.05 * ex[c]), (c, ap[c], ex[c])
