@@ -453,6 +453,20 @@ def _text_line_dedup(spark, sf_dir):
     )
 
 
+def _text_stratified_sample(spark, sf_dir):
+    # deterministic per-language downsampling (tda/sampling.stratified_sample):
+    # keep all English, 40% of German, 10% of everything else — the
+    # reproducible rebalancing pass of multilingual corpus assembly
+    from list_extractor_spark.tda.sampling import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang"
+    )
+    return stratified_sample(
+        docs, {"en": 1.0, "de": 0.4}, stratum_col="lang", default_rate=0.1
+    ).select("doc_id", "lang")
+
+
 def _text_hash_split(spark, sf_dir):
     # deterministic md5-bucket split assignment (tda/sampling.hash_split):
     # content-stable train/val/test membership recomputable by ANY engine
@@ -831,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_winnow_fingerprint": _text_winnow_fingerprint,
         "text_hash_split": _text_hash_split,
+        "text_stratified_sample": _text_stratified_sample,
         "text_pack_documents": _text_pack_documents,
         "text_line_dedup": _text_line_dedup,
         "sim_topk": _sim_topk,
@@ -1074,6 +1089,18 @@ def oracle_sql() -> dict[str, str]:
                    round(1 - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
                              / count(*), 6) AS dup_line_ratio
             FROM r GROUP BY doc_id
+        """,
+        "text_stratified_sample": """
+            WITH b AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+                     (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096\n                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256\n                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16\n                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                     AS bucket
+              FROM documents
+            )
+            SELECT doc_id, lang FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 65536
+                                     WHEN 'de' THEN 26214
+                                     ELSE 6554 END
         """,
         # 16-bit md5 bucket, decoded hex-digit by hex-digit (portable SQL —
         # the whole point of hash_split using md5 over engine-native hashes);

@@ -87,3 +87,31 @@ def pack_documents(documents: DataFrame, budget_tokens: int,
     return d.withColumn(
         "pack_id", local * F.lit(n_ranges) + F.col("_rng")
     ).drop("_rng")
+
+
+def stratified_sample(documents: DataFrame, rates: dict[str, float],
+                      stratum_col: str, key: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a document iff its
+    16-bit md5 bucket falls under its stratum's rate — the reproducible
+    alternative to df.sampleBy (which reseeds per run and per partitioning).
+    A document's fate depends only on (its key, its stratum's rate), so
+    re-runs, re-shards, and corpus growth keep exactly the same rows, and
+    raising a rate strictly GROWS the kept set (nested samples: the 5%
+    sample is a subset of the 20% sample — the property curriculum /
+    ablation pipelines rely on).  Strata absent from ``rates`` fall back to
+    ``default_rate`` (0.0 = drop)."""
+    bucket = _bucket16(F.col(key))
+    rate = None
+    for stratum, r in rates.items():
+        bound = int(round(r * _SPLIT_BUCKETS))
+        cond = F.col(stratum_col) == stratum
+        rate = F.when(cond, F.lit(bound)) if rate is None else rate.when(
+            cond, F.lit(bound)
+        )
+    rate = (
+        F.lit(int(round(default_rate * _SPLIT_BUCKETS)))
+        if rate is None
+        else rate.otherwise(F.lit(int(round(default_rate * _SPLIT_BUCKETS))))
+    )
+    return documents.filter(bucket < rate)

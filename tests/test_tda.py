@@ -667,3 +667,25 @@ def test_profile_exact_and_approx_modes(spark):
           for r in profile(ev, ["user_id", "event_type"]).collect()}
     for c in ex:
         assert abs(ap[c] - ex[c]) <= max(2, 0.05 * ex[c]), (c, ap[c], ex[c])
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """Per-stratum sampling must be reproducible under repartitioning, keep
+    rates roughly, and produce NESTED samples: every doc kept at rate r is
+    kept at any rate > r (the ablation-pipeline property random sampleBy
+    breaks)."""
+    from list_extractor_spark.tda.sampling import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang"
+    )
+    small = {r["doc_id"] for r in stratified_sample(
+        docs, {"en": 0.2}, "lang").collect()}
+    big = {r["doc_id"] for r in stratified_sample(
+        docs.repartition(9), {"en": 0.6}, "lang").collect()}
+    assert small and small <= big  # nested + partitioning-independent
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert 0.05 * n_en <= len(small) <= 0.4 * n_en
+    # default_rate drops unlisted strata entirely
+    assert not {r["lang"] for r in stratified_sample(
+        docs, {"en": 0.5}, "lang").collect()} - {"en"}
