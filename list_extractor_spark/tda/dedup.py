@@ -54,13 +54,36 @@ def _shingles(col="text", n=3):
     )
 
 
-def shingle_posting(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, sh) rows: distinct n-word shingles via posexplode + window
-    lead — every operator whole-stage-codegen'd (no interpreted HOFs).
+def shingle_posting(
+    documents: DataFrame, n: int = 3, strategy: str = "window"
+) -> DataFrame:
+    """(doc_id, sh) rows: distinct n-word shingles.  Shingles (vs unigrams)
+    keep posting lists short even on small-vocabulary corpora, so downstream
+    joins stay near-linear at scale.
 
-    One shuffle (window by doc_id).  Shingles (vs unigrams) keep posting
-    lists short even on small-vocabulary corpora, so downstream joins stay
-    near-linear at scale."""
+    Two strategies, A/B'd at 400k docs (scripts/bench_shingle_ab.py,
+    identical shingle sets by test): "window" (default) pays ONE exchange
+    (partitionBy doc_id) whose partitioning then satisfies the distinct AND
+    every downstream doc_id-keyed aggregation (sizes, minhash signatures) —
+    so pipelines built on the posting reuse it and measure FASTER end-to-end
+    (pairs 7.38 s vs 8.25 s).  "narrow" forms shingles in the scan task
+    (explode(sequence) + slice + array_join; 2.72 s vs 4.17 s standalone,
+    1.5x) and is the right choice when the consumer joins on the SHINGLE
+    (decontaminate-style) or uses the posting once."""
+    if strategy == "narrow":
+        t = F.split(F.lower(F.trim("text")), r"\s+")
+        d = documents.select("doc_id", t.alias("t")).filter(F.size("t") >= n)
+        return (
+            d.select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1))).alias("pos"),
+                "t",
+            )
+            .select(
+                "doc_id", F.array_join(F.slice("t", F.col("pos"), n), " ").alias("sh")
+            )
+            .distinct()
+        )
     toks = documents.select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "tok"),
@@ -109,10 +132,13 @@ def shingle_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     df_cap: int | None = None,
+    posting_strategy: str = "window",
 ) -> DataFrame:
     """Exact pairwise Jaccard over n-shingle sets via an inverted-index
-    self-join (codegen posting form), with the hub-shingle df cap."""
-    posting = shingle_posting(documents, n)
+    self-join (codegen posting form), with the hub-shingle df cap.  The
+    window posting measured faster here (its doc_id exchange is reused by
+    the sizes aggregation; see shingle_posting's A/B notes)."""
+    posting = shingle_posting(documents, n, strategy=posting_strategy)
     sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
     capped = _cap_postings(posting, "sh", df_cap)
     a = capped.select(F.col("doc_id").alias("doc_a"), "sh")

@@ -689,3 +689,23 @@ def test_stratified_sample_deterministic_and_nested(spark):
     # default_rate drops unlisted strata entirely
     assert not {r["lang"] for r in stratified_sample(
         docs, {"en": 0.5}, "lang").collect()} - {"en"}
+
+
+def test_shingle_posting_narrow_equals_window_form(spark):
+    """Both shingle-posting strategies must produce the identical
+    (doc_id, sh) set, including sub-n-token and empty docs."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).limit(40)
+    extra = spark.createDataFrame(
+        [("two", "only two"), ("empty", ""), ("exact3", "exactly three tokens")],
+        schema="doc_id string, text string",
+    )
+    docs = base.unionByName(extra)
+    a = {(r["doc_id"], r["sh"])
+         for r in dedup.shingle_posting(docs, strategy="narrow").collect()}
+    b = {(r["doc_id"], r["sh"])
+         for r in dedup.shingle_posting(docs, strategy="window").collect()}
+    assert a == b
+    assert ("exact3", "exactly three tokens") in a
+    assert not any(d in ("two", "empty") for d, _ in a)
