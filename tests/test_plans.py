@@ -330,3 +330,17 @@ def test_decontaminate_train_side_is_narrow_broadcast_probe(spark):
     assert "FileScan" in probe
     assert "Exchange hashpartitioning" not in probe, probe
     assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_window_shingle_posting_partitioning_reused_downstream(spark):
+    """The measured reason the window posting wins end-to-end (BENCH A/B):
+    its doc_id exchange partitioning must satisfy the distinct AND the
+    downstream doc_id aggregation — minhash signatures over the posting
+    plan exactly ONE shuffle exchange total."""
+    from list_extractor_spark.tda import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    plan = _plan(dedup.minhash_signatures(docs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
