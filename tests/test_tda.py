@@ -709,3 +709,27 @@ def test_shingle_posting_narrow_equals_window_form(spark):
     assert a == b
     assert ("exact3", "exactly three tokens") in a
     assert not any(d in ("two", "empty") for d, _ in a)
+
+
+def test_bucket16_matches_hashlib_and_rates_nest(spark):
+    """The sampling bucket must equal int(md5(key)[:4], 16) computed by ANY
+    engine (the portability claim hash_split is built on), and membership
+    under increasing rates must be nested for arbitrary rate ladders."""
+    import hashlib
+
+    from list_extractor_spark.tda.sampling import _SPLIT_BUCKETS, _bucket16
+
+    ids = [f"doc_{i}" for i in range(300)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    got = {r["doc_id"]: r["b"]
+           for r in df.select("doc_id", _bucket16(F.col("doc_id")).alias("b")).collect()}
+    want = {i: int(hashlib.md5(i.encode()).hexdigest()[:4], 16) for i in ids}
+    assert got == want
+    for rates in ([0.01, 0.3, 0.31, 0.9], [0.0, 0.5, 1.0]):
+        kept_sets = [
+            {i for i in ids if want[i] < int(round(r * _SPLIT_BUCKETS))}
+            for r in rates
+        ]
+        for small, big in zip(kept_sets, kept_sets[1:]):
+            assert small <= big
+    assert len({i for i in ids if want[i] < _SPLIT_BUCKETS}) == len(ids)
