@@ -61,8 +61,15 @@ def canonical_map_df(
             if u not in parent or p < parent[u]:
                 parent[u] = p
         cmap = sorted(canonical_map(parent).items())
+        # pandas-backed createDataFrame plans as a LocalRelation WITH size
+        # statistics (a python list becomes a LogicalRDD whose stats are
+        # unknown), so the downstream size-adaptive apply join decides from
+        # Catalyst stats instead of running a count job per pipeline run
+        import pandas as pd
+
+        pdf = pd.DataFrame(cmap, columns=["uri", "canonical"])
         return edges.sparkSession.createDataFrame(
-            cmap, schema="uri string, canonical string"
+            pdf, schema="uri string, canonical string"
         )
     # dedupe duplicate-source edges (min parent) BEFORE iterating: without it
     # a uri with two parents fans out into two pointer rows that never merge,
@@ -219,9 +226,22 @@ def identity_edges(
     return r.unionByName(s)
 
 
-def apply_canonical_df(triples: DataFrame, cmap: DataFrame, broadcast: bool = True) -> DataFrame:
+def apply_canonical_df(
+    triples: DataFrame, cmap: DataFrame, broadcast: bool | None = None
+) -> DataFrame:
     """Rewrite subj and IRI objects through the canonical map.  Literal objects
-    (obj_dt non-null) are never rewritten."""
+    (obj_dt non-null) are never rewritten.
+
+    ``broadcast``: None (default) sizes the map against
+    spark.sql.autoBroadcastJoinThreshold via Catalyst plan stats
+    (engine/stats.fits_broadcast) — the canonical map is derived FROM
+    redirects ∪ sameAs, so at dump scale it has the same 10^7-10^8-row
+    cardinality and must degrade to a shuffle join (AQE splits hub-target
+    skew at runtime); True/False force the regime."""
+    if broadcast is None:
+        from .stats import fits_broadcast
+
+        broadcast = fits_broadcast(cmap)
     cm = F.broadcast(cmap) if broadcast else cmap
     out = (
         triples.join(

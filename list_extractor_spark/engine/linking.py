@@ -2,8 +2,9 @@
 
 Replaces the reference's two HTTP round-trips per element
 (wikidataAPI_call mapper.py:1547-1577; find_DBpedia_uri mapper.py:1580-1602)
-with one broadcast-hash join against the snapshotted mention index followed by
-a broadcast-hash join against the sameAs snapshot:
+with one hash join against the snapshotted mention index followed by one
+against the sameAs snapshot (each broadcast while it fits the threshold,
+shuffled past it — see _auto_salt / engine/stats.fits_broadcast):
 
     subj = coalesce(sameas.dbpedia_uri, mention_index.wikidata_uri)
 
@@ -29,54 +30,14 @@ from pyspark.sql import DataFrame, functions as F
 AUTO_SALT = 8
 
 
-def _parse_size_bytes(v) -> int:
-    s = str(v).strip().lower()
-    for suf, mult in (("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2),
-                      ("kb", 1024), ("t", 1024**4), ("g", 1024**3),
-                      ("m", 1024**2), ("k", 1024), ("b", 1)):
-        if s.endswith(suf):
-            return int(float(s[: -len(suf)])) * mult
-    return int(float(s))
-
-
-# conservative per-row estimate for (lang, surface, wikidata_uri) strings in
-# the broadcast hash relation (JVM object overhead included); used only on
-# the unknown-stats fallback path
-_EST_BYTES_PER_ROW = 96
-_SALT_CACHE: dict = {}
-
-
 def _auto_salt(idx: DataFrame) -> int:
     """0 (broadcast) while the rank-1 index fits the broadcast threshold,
-    AUTO_SALT past it.
+    AUTO_SALT past it — the shared plan-stats probe (engine/stats.py
+    fits_broadcast) does the sizing; see its docstring for the zero-job /
+    bounded-count envelope."""
+    from .stats import fits_broadcast
 
-    Sized from Catalyst's plan statistics (engine/stats.py) — the same
-    number Spark's own broadcast planner consults, so for file-backed
-    snapshots (the production shape) the decision costs ZERO extra jobs and
-    errs exactly where Spark's native planner would.  Plans with no estimate
-    (python createDataFrame lists -> LogicalRDD) fall back to a
-    LIMIT-bounded count, memoized per (optimized plan, threshold) because
-    even a tiny count job costs ~0.5 s of scheduler latency on a busy driver
-    — repeated pipeline runs over the same index pay it once."""
-    from .stats import _optimized_plan, stats_size_bytes
-
-    conf = idx.sparkSession.conf.get(
-        "spark.sql.autoBroadcastJoinThreshold", "10485760"
-    )
-    threshold = _parse_size_bytes(conf)
-    if threshold <= 0:  # broadcast disabled outright
-        return AUTO_SALT
-    size = stats_size_bytes(idx)
-    if size is not None:
-        return AUTO_SALT if size > threshold else 0
-    key = (_optimized_plan(idx).toString(), threshold)
-    if key not in _SALT_CACHE:
-        if len(_SALT_CACHE) > 64:
-            _SALT_CACHE.clear()
-        row_budget = max(1, threshold // _EST_BYTES_PER_ROW)
-        n = idx.limit(row_budget + 1).count()
-        _SALT_CACHE[key] = AUTO_SALT if n > row_budget else 0
-    return _SALT_CACHE[key]
+    return 0 if fits_broadcast(idx) else AUTO_SALT
 
 
 def resolve_links(
@@ -139,7 +100,12 @@ def resolve_links(
     fallback = (
         ["link_fallback"] if "link_fallback" in candidates.columns else []
     )
-    return resolved.join(F.broadcast(sa), "wikidata_uri", "left").select(
+    # sameAs snapshot: broadcast only while it fits the budget — a real
+    # DBpedia<->Wikidata dump is 10^7-10^8 rows, multi-GB as a build side;
+    # past the threshold this degrades to a shuffle join (AQE splits skew)
+    from .stats import maybe_broadcast
+
+    return resolved.join(maybe_broadcast(sa), "wikidata_uri", "left").select(
         "doc_id",
         # dbpedia wins when the sameAs snapshot has it (reference
         # mapper.py:876-880), else the wikidata URI; a deferred mention the
@@ -158,13 +124,22 @@ def attach_page_types(documents: DataFrame, page_types: DataFrame) -> DataFrame:
     utilities.py:282-302).  A page with several types gets all of them, in
     sorted order — the reference runs the mappers once per type with the
     domain-dedup list shared across types, and collect_list order is
-    nondeterministic, so sorting makes the dispatch deterministic."""
+    nondeterministic, so sorting makes the dispatch deterministic.
+
+    Broadcast is size-gated: grouped to one row per resource, a class-mode
+    page_types snapshot is corpus-sized, so past the threshold the join
+    degrades to a shuffle (stats probed on the pre-aggregation scan, whose
+    file-backed estimate is reliable; the grouped side is never larger)."""
+    from .stats import fits_broadcast
+
     types = page_types.groupBy("resource").agg(
         F.sort_array(F.collect_list("rdf_type")).alias("type_list")
     )
+    if fits_broadcast(page_types):
+        types = F.broadcast(types)
     return (
         documents.join(
-            F.broadcast(types), documents["doc_id"] == types["resource"], "left"
+            types, documents["doc_id"] == types["resource"], "left"
         )
         .withColumn("res_classes", F.coalesce("type_list", F.array("res_class")))
         .drop("resource", "type_list")
@@ -174,8 +149,14 @@ def attach_page_types(documents: DataFrame, page_types: DataFrame) -> DataFrame:
 def resolve_redirects(documents: DataFrame, redirects: DataFrame) -> DataFrame:
     """S2: left-outer join + coalesce replaces the reference's re-fetch under
     the redirect target (wikiParser.py:298-334, caller :51-53).  The resolved
-    id becomes the page resource used in emitted triples."""
+    id becomes the page resource used in emitted triples.
+
+    Broadcast is size-gated: an enwiki redirect dump is ~10^7 rows, so past
+    the threshold this degrades to a shuffle join rather than forcing a
+    multi-GB build side."""
+    from .stats import maybe_broadcast
+
     r = redirects.select(F.col("src").alias("doc_id"), F.col("dst"))
-    return documents.join(F.broadcast(r), "doc_id", "left").withColumn(
+    return documents.join(maybe_broadcast(r), "doc_id", "left").withColumn(
         "res_target", F.coalesce("dst", "doc_id")
     ).drop("dst")

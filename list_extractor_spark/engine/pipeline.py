@@ -10,10 +10,15 @@ set (property-tested).  A ``_lineage`` table records per-stage row counts and
 wall time — the scalable version of the reference's evaluation.csv
 (utilities.py:319-346).
 
-Shuffle budget at scale: ① and ③ are broadcast joins (no shuffle of the big
-side), ② is narrow, ④ touches only the small identity-edge set plus one
-map-side broadcast application, ⑤ is the single unavoidable shuffle
-(global (s,p,o,dt) dedup, the reference's rdflib set semantics).
+Shuffle budget at scale: ① and ③ are broadcast joins while their snapshot
+sides fit spark.sql.autoBroadcastJoinThreshold and degrade to shuffle joins
+past it (every snapshot join — redirects, page_types, mention index, sameAs,
+canonical map — is size-gated via engine/stats.fits_broadcast, so a
+10^7-10^8-row dump never forces a multi-GB driver broadcast; AQE splits
+runtime skew on the demoted joins), ② is narrow, ④ touches only the small
+identity-edge set plus one size-gated map application, ⑤ is the single
+unavoidable shuffle (global (s,p,o,dt) dedup, the reference's rdflib set
+semantics).
 """
 
 from __future__ import annotations

@@ -665,7 +665,9 @@ def kg_oracle_sql(sf_dir: str) -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE)
                        AS sum_value
-            FROM events GROUP BY 1, 2
+            FROM events
+            WHERE CAST(date_trunc('day', ts) AS DATE) < DATE '2024-01-21'
+            GROUP BY 1, 2
         """,
         "stream_stateful_dedup": values_sql(
             stream_stateful_dedup_rows(),

@@ -344,3 +344,66 @@ def test_window_shingle_posting_partitioning_reused_downstream(spark):
     )
     plan = _plan(dedup.minhash_signatures(docs))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_snapshot_joins_degrade_to_shuffle_past_threshold(spark):
+    """The four snapshot-side joins on the flagship path (redirects,
+    page_types, sameAs, canonical-map apply) must be size-gated, not
+    hint-forced: real dumps are 10^7-10^8 rows, far past any broadcast
+    budget.  With the budget dropped to 1 byte every one of them must plan
+    WITHOUT a broadcast build side — and produce exactly the rows the
+    forced-broadcast regime produces."""
+    from list_extractor_spark.engine.canonicalize import (
+        apply_canonical_df,
+        canonical_map_df,
+        identity_edges,
+    )
+    from list_extractor_spark.engine.linking import attach_page_types
+    from list_extractor_spark.fixtures import make_page_types
+
+    snaps = make_snapshots()
+    mi, sa, rd = snapshots_to_dfs(spark, snaps)
+    from list_extractor_spark.engine.pipeline import page_types_df
+
+    corpus = make_corpus(6, hub_every=0)
+    pt = page_types_df(spark, {"page_types": make_page_types(corpus)})
+    docs = spark.createDataFrame(
+        corpus_to_rows(corpus), schema=DOCUMENTS_SCHEMA
+    )
+    keys = {(r["lang"], r["surface"]) for r in mi.select("lang", "surface").collect()}
+    cmap = canonical_map_df(identity_edges(rd, sa))
+
+    def build():
+        d = resolve_redirects(docs, rd)
+        d = attach_page_types(d, pt)
+        cand = extract_candidates(d, linkable_keys=keys)
+        linked = resolve_links(cand, mi, sa)
+        return apply_canonical_df(linked, cmap)
+
+    want = sorted(map(tuple, build().collect()))  # default budget: broadcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        out = build()
+        plan = _plan(out)
+        # the only broadcast allowed is the salted path's tiny range(salt)
+        # replication crossJoin (IdentityBroadcastMode, NestedLoop) — no
+        # snapshot may ride a broadcast HASH build side
+        assert "BroadcastHashJoin" not in plan, plan
+        # and each site individually, where no crossJoin muddies the plan
+        for df in (
+            resolve_redirects(docs, rd),
+            attach_page_types(resolve_redirects(docs, rd), pt),
+            apply_canonical_df(
+                spark.createDataFrame(
+                    [("d", "s", "p", "o", None)],
+                    "doc_id string, subj string, pred string, obj string, obj_dt string",
+                ),
+                cmap,
+            ),
+        ):
+            assert "BroadcastExchange" not in _plan(df), _plan(df)
+        got = sorted(map(tuple, out.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
