@@ -362,16 +362,35 @@ def _dedup_shingle_jaccard(spark, sf_dir):
 
 
 def _dedup_minhash_lsh(spark, sf_dir):
+    # hub-bucket guard (degenerate band hashes) mirrored in the oracle
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _load(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("string").alias("doc_id"), "text"
         ),
-        k=16,
-        bands=4,
-        threshold=0.2,
-        # hub-bucket guard (degenerate band hashes), mirrored in the oracle
-        bucket_cap=50,
+        k=16, bands=4, threshold=0.2, bucket_cap=50,
     )
+
+
+def _dedup_resolve_minhash(spark, sf_dir):
+    """Near-dup GROUP resolution: connected components over the minhash pair
+    graph + keep_min survivor per cluster (tda/dedup.near_dup_resolve) —
+    the step that turns a pair list into a dedup verdict."""
+    return dedup.near_dup_resolve(_minhash_pairs(spark, sf_dir))
+
+
+def _dedup_corpus_minhash(spark, sf_dir):
+    """The deduplicated corpus itself: documents minus non-surviving cluster
+    members (tda/dedup.dedup_corpus, anti-join on the drop set)."""
+    return dedup.dedup_corpus(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        _minhash_pairs(spark, sf_dir),
+    ).select("doc_id")
 
 
 def _dedup_simhash(spark, sf_dir):
@@ -861,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_shingle_jaccard": _dedup_shingle_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_resolve_minhash": _dedup_resolve_minhash,
+        "dedup_corpus_minhash": _dedup_corpus_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_winnow_overlap": _dedup_winnow_overlap,
         "dedup_decontaminate": _dedup_decontaminate,

@@ -354,6 +354,30 @@ def minhash_lsh_rows(sf_dir: str, k: int = 16, bands: int = 4, threshold: float 
     return sorted(out)
 
 
+def near_dup_resolve_rows(sf_dir: str, threshold: float = 0.2,
+                          bucket_cap: int | None = 50):
+    """Expected (doc_id, cluster_id, keep) of near_dup_resolve over the
+    minhash pair graph: union-find (core/components.py) over the
+    hash-replica pair list, keep_min policy."""
+    from ..core.components import components
+
+    prs = [(a, b) for a, b, _j in
+           minhash_lsh_rows(sf_dir, threshold=threshold, bucket_cap=bucket_cap)]
+    comp = components(prs)
+    return sorted((d, c, d == c) for d, c in comp.items())
+
+
+def dedup_corpus_sql(sf_dir: str) -> str:
+    """Deduplicated-corpus oracle: every document id except the
+    non-surviving near-dup cluster members."""
+    drop = [d for d, _c, k in near_dup_resolve_rows(sf_dir) if not k]
+    base = "SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents"
+    if not drop:
+        return base
+    lits = ", ".join("'" + d.replace("'", "''") + "'" for d in drop)
+    return f"{base} WHERE CAST(doc_id AS VARCHAR) NOT IN ({lits})"
+
+
 def winnow_signature_rows(sf_dir: str, k: int = 8, w: int = 4):
     """Mirrors tda/textstats.winnow_posting + winnow_signatures: lower +
     ASCII-whitespace collapse, char k-grams hashed with xxhash64, min per
@@ -593,6 +617,14 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
             minhash_lsh_rows(sf_dir, bucket_cap=50),
             [("doc_a", "VARCHAR"), ("doc_b", "VARCHAR"), ("jaccard", "DOUBLE")],
         ),
+        # cluster resolution over the minhash pair graph: python union-find
+        # (core/components.py — the same single-source-of-truth the Spark
+        # fast path calls) over the hash-replica pair list
+        "dedup_resolve_minhash": values_sql(
+            near_dup_resolve_rows(sf_dir),
+            [("doc_id", "VARCHAR"), ("cluster_id", "VARCHAR"), ("keep", "BOOLEAN")],
+        ),
+        "dedup_corpus_minhash": dedup_corpus_sql(sf_dir),
         "text_winnow_fingerprint": values_sql(
             winnow_signature_rows(sf_dir),
             [("doc_id", "VARCHAR"), ("n_fp", "BIGINT"), ("fp_xor", "BIGINT")],

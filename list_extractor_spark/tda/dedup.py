@@ -482,3 +482,171 @@ def remove_contaminated(documents: DataFrame, contaminated: DataFrame) -> DataFr
     return documents.join(
         contaminated.select("doc_id").distinct(), "doc_id", "left_anti"
     )
+
+
+def near_dup_resolve(
+    pairs: DataFrame,
+    documents: DataFrame | None = None,
+    policy: str = "keep_min",
+    max_iters: int = 30,
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """Resolve a near-duplicate PAIR list into clusters + a survivor per
+    cluster: (doc_id, cluster_id, keep) for every doc appearing in >= 1 pair.
+
+    This is the step that turns every fuzzy-dedup operator's pair output
+    (minhash_lsh_pairs / simhash_pairs / winnow_overlap_pairs /
+    cosine_near_dup_pairs — any frame with doc_a, doc_b columns) into an
+    actionable dedup verdict: connected components over the pair graph,
+    cluster_id = the component's minimum doc_id, and one kept survivor per
+    cluster.
+
+    ``policy``: "keep_min" keeps the lexicographically-smallest doc_id;
+    "keep_longest" keeps the longest text (ties to the smaller doc_id) and
+    requires ``documents`` (doc_id, text).
+
+    Size-adaptive like canonicalize.canonical_map_df: pair lists up to
+    ``driver_threshold`` rows resolve with the exact pure-Python union-find
+    (core/components.py — the oracle itself) in one collect; past it the
+    distributed loop runs: min-label propagation along edges PLUS a
+    pointer-doubling shortcut per round (label := label(label)), the
+    standard O(log d) DataFrame form of CC (alternating star contraction).
+    Each round is two equi-joins over the label set — proportional to the
+    NODES OF THE PAIR GRAPH (docs that near-dup anything), orders smaller
+    than the corpus — with localCheckpoint truncating lineage per round.
+    """
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("u"),
+        F.col("doc_b").cast("string").alias("v"),
+    )
+    spark = pairs.sparkSession
+    n_pairs = _estimate_pair_rows(edges)
+    if n_pairs <= driver_threshold:
+        from ..core.components import components
+
+        comp = components((r["u"], r["v"]) for r in edges.collect())
+        import pandas as pd
+
+        # pandas-backed -> LocalRelation WITH stats (downstream joins size it)
+        pdf = pd.DataFrame(sorted(comp.items()), columns=["doc_id", "cluster_id"])
+        members = spark.createDataFrame(
+            pdf, schema="doc_id string, cluster_id string"
+        )
+    else:
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # init: label(u) = min(u, min neighbor) — one aggregation
+        labels = (
+            sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iters):
+            # propagate: label(u) <- min(label(u), min over neighbors' labels)
+            nbr = (
+                sym.join(
+                    labels.select(F.col("u").alias("v"), F.col("label").alias("nl")),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.min("nl").alias("nbr_min"))
+            )
+            prop = (
+                labels.join(nbr, "u", "left")
+                .select(
+                    "u",
+                    F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+                )
+                # materialize BEFORE the shortcut self-join: a lazy plan
+                # referenced on both sides would re-run the propagate join
+                .localCheckpoint(eager=True)
+            )
+            # shortcut: label(u) <- label(label(u)) (pointer doubling; min
+            # labels are monotone, so this only ever jumps CLOSER to the root)
+            nxt = (
+                prop.alias("a")
+                .join(
+                    prop.select(
+                        F.col("u").alias("l_u"), F.col("label").alias("l_label")
+                    ).alias("b"),
+                    F.col("a.label") == F.col("b.l_u"),
+                    "left",
+                )
+                .select(
+                    F.col("a.u").alias("u"),
+                    F.least(
+                        F.col("a.label"), F.coalesce("b.l_label", "a.label")
+                    ).alias("label"),
+                    (F.coalesce("b.l_label", "a.label") < F.col("a.label")).alias(
+                        "changed"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_changed = nxt.filter("changed").limit(1).count()
+            labels = nxt.drop("changed")
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"near_dup_resolve: labels did not converge in {max_iters} rounds"
+            )
+        members = labels.select(
+            F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+
+    if policy == "keep_min":
+        return members.select(
+            "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+        )
+    if policy == "keep_longest":
+        if documents is None:
+            raise ValueError("policy='keep_longest' requires documents")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.desc("_len"), F.asc("doc_id")
+        )
+        return (
+            members.join(
+                documents.select(
+                    F.col("doc_id").cast("string").alias("doc_id"),
+                    F.length("text").alias("_len"),
+                ),
+                "doc_id",
+                "left",
+            )
+            .withColumn("_len", F.coalesce("_len", F.lit(-1)))
+            .withColumn("keep", F.row_number().over(w) == 1)
+            .select("doc_id", "cluster_id", "keep")
+        )
+    raise ValueError(f"unknown policy {policy!r}")
+
+
+def _estimate_pair_rows(edges: DataFrame) -> int:
+    """Exact bounded row count for the fast-path decision (same envelope as
+    canonicalize._estimate_edge_rows: the fast path ends in a collect, so
+    byte statistics are not safe — LocalRelation exact counts are free,
+    everything else pays one LIMIT-bounded count)."""
+    from ..engine.stats import local_relation_rows
+
+    n = local_relation_rows(edges)
+    if n is not None:
+        return n
+    return edges.limit(1_000_000).count()
+
+
+def dedup_corpus(
+    documents: DataFrame,
+    pairs: DataFrame,
+    policy: str = "keep_min",
+) -> DataFrame:
+    """The deduplicated corpus: every document except non-surviving members
+    of near-dup clusters.  Docs in no pair pass through untouched — the drop
+    set (cluster members minus survivors) is proportional to the
+    DUPLICATION, not the corpus, so the anti-join broadcasts whenever
+    duplication is rare (AQE decides; no hint)."""
+    resolved = near_dup_resolve(pairs, documents=documents, policy=policy)
+    drop = resolved.filter(~F.col("keep")).select("doc_id")
+    return documents.withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    ).join(drop, "doc_id", "left_anti")

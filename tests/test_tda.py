@@ -733,3 +733,80 @@ def test_bucket16_matches_hashlib_and_rates_nest(spark):
         for small, big in zip(kept_sets, kept_sets[1:]):
             assert small <= big
     assert len({i for i in ids if want[i] < _SPLIT_BUCKETS}) == len(ids)
+
+
+def _uf_components(pairs):
+    from list_extractor_spark.core.components import components
+
+    return components(pairs)
+
+
+def test_near_dup_resolve_fast_vs_distributed_vs_unionfind(spark):
+    """The distributed label-propagation+shortcut loop, the driver-side
+    union-find fast path, and the pure-Python core must all agree — on a
+    graph with a long chain (worst case for propagation), a star, a cycle,
+    and duplicate/reversed edges."""
+    chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(12)]
+    star = [("hub", f"s{i}") for i in range(5)]
+    cyc = [("x1", "x2"), ("x2", "x3"), ("x3", "x1")]
+    dup = [("c01", "c00"), ("c00", "c01")]  # reversed + repeated
+    pairs = spark.createDataFrame(
+        chain + star + cyc + dup, "doc_a string, doc_b string"
+    )
+    want = sorted(
+        (d, c, d == c)
+        for d, c in _uf_components([(a, b) for a, b in chain + star + cyc + dup]).items()
+    )
+    fast = sorted(map(tuple, dedup.near_dup_resolve(pairs).collect()))
+    dist = sorted(
+        map(tuple, dedup.near_dup_resolve(pairs, driver_threshold=0).collect())
+    )
+    assert fast == want
+    assert dist == want
+
+
+def test_near_dup_resolve_distributed_result_is_checkpointed(spark):
+    """Each loop round must truncate lineage via localCheckpoint: the
+    returned plan is a scan over the checkpointed label RDD, not the
+    accumulated join tree (which would grow per round and re-run on every
+    downstream action)."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "doc_a string, doc_b string"
+    )
+    out = dedup.near_dup_resolve(pairs, driver_threshold=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan  # keep_min needs no survivor join
+
+
+def test_near_dup_resolve_keep_longest_and_corpus(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    docs = spark.createDataFrame(
+        [("a", "short"), ("b", "the longest text"), ("c", "mid text"),
+         ("x", "same"), ("y", "same"), ("z", "untouched bystander")],
+        "doc_id string, text string",
+    )
+    res = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup.near_dup_resolve(pairs, docs, policy="keep_longest").collect()
+    }
+    assert res["b"] == ("a", True)  # longest in {a,b,c}
+    assert res["a"][1] is False and res["c"][1] is False
+    assert res["x"] == ("x", True)  # tie on length -> min doc_id
+    assert res["y"][1] is False
+    kept = sorted(r["doc_id"] for r in dedup.dedup_corpus(docs, pairs).collect())
+    assert kept == ["a", "x", "z"]  # keep_min survivors + untouched doc
+    kept_long = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_corpus(docs, pairs, policy="keep_longest").collect()
+    )
+    assert kept_long == ["b", "x", "z"]
+
+
+def test_near_dup_resolve_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert dedup.near_dup_resolve(pairs).count() == 0
+    docs = spark.createDataFrame([("a", "t")], "doc_id string, text string")
+    assert dedup.dedup_corpus(docs, pairs).count() == 1
