@@ -599,6 +599,15 @@ def _sim_ivf_topk(spark, sf_dir):
     )
 
 
+def _sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means cells via the IVF coarse quantizer, cosine pairs
+    within cells only (tda/similarity.semantic_dedup_pairs) — the quadratic
+    term bounded by the largest cell, never the corpus."""
+    return similarity.semantic_dedup_pairs(
+        _load(spark, sf_dir, "embeddings"), k=16, threshold=0.3
+    )
+
+
 def _sim_near_dup(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(
         _load(spark, sf_dir, "embeddings"), threshold=0.5
@@ -900,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _sim_ivf_topk,
         "sim_near_dup": _sim_near_dup,
         "sim_near_dup_lsh": _sim_near_dup_lsh,
+        "sim_semantic_dedup": _sim_semantic_dedup,
         "media_stats": _media_stats,
         "media_features": _media_features,
         "media_resize": _media_resize,

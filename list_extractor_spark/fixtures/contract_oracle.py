@@ -502,6 +502,62 @@ def near_dup_lsh_sql(dim: int = 64, n_planes: int = 6, threshold: float = 0.3) -
     """
 
 
+def _argmin_cells_sql(cents):
+    """(score_cols, argmin CASE) for nearest-centroid assignment as SQL:
+    centroid-literal dot products, first-argmin CASE cascade (ties to the
+    lowest index, exactly numpy argmin's rule)."""
+    score_cols = ",\n".join(
+        f"-2 * list_dot_product(CAST(embedding AS DOUBLE[]), {_plane_sql(c)})"
+        f" + {repr(sum(v * v for v in c))} AS s{i}"
+        for i, c in enumerate(cents)
+    )
+    n = len(cents)
+    whens = []
+    for i in range(n - 1):
+        rest = ", ".join(f"s{j}" for j in range(i + 1, n))
+        least = f"least({rest})" if i + 1 < n - 1 else rest
+        whens.append(f"WHEN s{i} <= {least} THEN {i}")
+    case = "CASE " + " ".join(whens) + f" ELSE {n - 1} END"
+    return score_cols, case
+
+
+def semantic_dedup_sql(sf_dir: str, k_cents: int = 16, iters: int = 5,
+                       sample: int = 4096, threshold: float = 0.3) -> str:
+    """SemDeDup oracle: centroids from the shared Lloyd loop (trained on ALL
+    embeddings, matching semantic_dedup_pairs), assignment as the
+    centroid-literal argmin cascade, cosine pairs within each cell.  The
+    threshold filters the UNROUNDED cosine (the Spark side compares before
+    rounding too)."""
+    import duckdb
+
+    from ..tda.similarity import lloyd_centroids
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{emb_path}' ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    cents = lloyd_centroids([r[0] for r in rows], k_cents, iters)
+    score_cols, case = _argmin_cells_sql(cents)
+    cos = (
+        "list_dot_product(a.embedding, b.embedding) "
+        "/ (sqrt(list_dot_product(a.embedding, a.embedding)) "
+        "* sqrt(list_dot_product(b.embedding, b.embedding)))"
+    )
+    return f"""
+        WITH scored AS (
+          SELECT vec_id, embedding, {score_cols} FROM embeddings
+        ),
+        cells AS (
+          SELECT vec_id, embedding, {case} AS centroid_id FROM scored
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({cos}, 4) AS cos_sim
+        FROM cells a JOIN cells b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+    """
+
+
 def ivf_topk_sql(sf_dir: str, k_cents: int = 16, iters: int = 5,
                  sample: int = 4096, nprobe: int = 2, k: int = 10) -> str:
     """IVF ANN oracle: centroids from the shared Lloyd loop (bit-identical to
@@ -522,18 +578,7 @@ def ivf_topk_sql(sf_dir: str, k_cents: int = 16, iters: int = 5,
     ).fetchone()
     probe = ivf_probe_centroids([float(v) for v in qvec], cents, nprobe)
 
-    score_cols = ",\n".join(
-        f"-2 * list_dot_product(CAST(embedding AS DOUBLE[]), {_plane_sql(c)})"
-        f" + {repr(sum(v * v for v in c))} AS s{i}"
-        for i, c in enumerate(cents)
-    )
-    n = len(cents)
-    whens = []
-    for i in range(n - 1):
-        rest = ", ".join(f"s{j}" for j in range(i + 1, n))
-        least = f"least({rest})" if i + 1 < n - 1 else rest
-        whens.append(f"WHEN s{i} <= {least} THEN {i}")
-    case = "CASE " + " ".join(whens) + f" ELSE {n - 1} END"
+    score_cols, case = _argmin_cells_sql(cents)
     return f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         scored AS (
@@ -638,6 +683,7 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
         "sim_lsh_topk_multiprobe": lsh_topk_sql(sf_dir, n_probe_buckets=3),
         "sim_near_dup_lsh": near_dup_lsh_sql(),
         "sim_ivf_topk": ivf_topk_sql(sf_dir),
+        "sim_semantic_dedup": semantic_dedup_sql(sf_dir),
     }
 
 

@@ -810,3 +810,25 @@ def test_near_dup_resolve_empty_pairs(spark):
     assert dedup.near_dup_resolve(pairs).count() == 0
     docs = spark.createDataFrame([("a", "t")], "doc_id string, text string")
     assert dedup.dedup_corpus(docs, pairs).count() == 1
+
+
+def test_semantic_dedup_clusters_injected_near_identical_embeddings(spark):
+    """SemDeDup end-to-end: two nearly-identical injected vectors must form
+    one cluster with exactly one survivor, regardless of which k-means cell
+    they land in (identical directions always share a cell)."""
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = base.filter(F.col("vec_id") == 1).first()["embedding"]
+    near = [x * 1.0001 for x in v]
+    extra = spark.createDataFrame(
+        [(90001, v, 99), (90002, near, 99)],
+        schema=base.select("vec_id", "embedding", "label").schema,
+    )
+    emb = base.select("vec_id", "embedding", "label").unionByName(extra)
+    verdict = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in similarity.semantic_dedup(emb, k=4, threshold=0.999).collect()
+    }
+    assert "90001" in verdict and "90002" in verdict
+    assert verdict["90001"][0] == verdict["90002"][0]  # same cluster
+    kept = [d for d in ("1", "90001", "90002") if d in verdict and verdict[d][1]]
+    assert len(kept) == 1  # exactly one survivor among the near-identicals
