@@ -456,6 +456,37 @@ def _q_profile_events(spark, sf_dir):
     )
 
 
+def _q_profile_numeric(spark, sf_dir):
+    """Typed numeric profile (tda/profile.profile_numeric): double min/max
+    plus an exact decimal-accumulated mean — the columns the stringified
+    profile pass must skip."""
+    from list_extractor_spark.tda.profile import profile_numeric
+
+    return profile_numeric(
+        _load(spark, sf_dir, "events"),
+        columns=["event_id", "user_id", "value"],
+        exact=True,
+    )
+
+
+def _profile_numeric_sql() -> str:
+    """DuckDB twin of profile_numeric over events: same decimal-accumulated
+    mean (exact sum -> one double division -> one round) so neither engine's
+    float reduce order can flake the comparison."""
+    per_col = """
+        SELECT '{c}' AS "column", count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS DOUBLE) AS min_value,
+               CAST(max({c}) AS DOUBLE) AS max_value,
+               round(CAST(sum(CAST({c} AS DECIMAL(28,10))) AS DOUBLE)
+                     / count({c}), 4) AS mean_value
+        FROM events"""
+    return "\nUNION ALL\n".join(
+        per_col.format(c=c) for c in ("event_id", "user_id", "value")
+    )
+
+
 def _text_line_dedup(spark, sf_dir):
     # within-doc repetition removal (tda/textstats.line_dedup, the Gopher
     # line-dedup rule); the corpus has no newlines, so sentences become
@@ -882,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": _q_range_join,
         "q_hypertable_rollup": _q_hypertable_rollup,
         "q_profile_events": _q_profile_events,
+        "q_profile_numeric": _q_profile_numeric,
         "q_rollup": _q_rollup,
         "q_union_dedup": _q_union_dedup,
         # training-data ops
@@ -1117,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT event_type),
                    CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM events
         """,
+        "q_profile_numeric": _profile_numeric_sql(),
         "text_line_dedup": """
             WITH l AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,

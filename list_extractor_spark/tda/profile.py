@@ -44,3 +44,50 @@ def profile(df: DataFrame, columns: list[str] | None = None,
         ).alias("column", "n_rows", "n_nulls", "n_distinct", "min_value",
                 "max_value")
     )
+
+
+def profile_numeric(df: DataFrame, columns: list[str] | None = None,
+                    exact: bool = False) -> DataFrame:
+    """Typed numeric profile — the twin ``profile`` cannot provide because it
+    stringifies min/max (double formatting differs across engines):
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value, mean_value)
+    with min/max/mean as DOUBLE, still ONE aggregation pass.
+
+    ``columns`` defaults to every numeric column.  The mean accumulates as
+    DECIMAL(28,10) (exact, order-independent — a double sum's value depends
+    on partition reduce order, which would flake any cross-engine
+    comparison), then divides and rounds in double: one deterministic
+    rounding step on each engine."""
+    from pyspark.sql.types import NumericType
+
+    cols = columns or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    ]
+    distinct = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+            F.round(
+                F.sum(F.col(c).cast("decimal(28,10)")).cast("double")
+                / F.count(F.col(c)),
+                4,
+            ).alias(f"{c}__mean"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c), F.col("__n"), F.col(f"{c}__nulls"),
+            F.col(f"{c}__distinct"), F.col(f"{c}__min"), F.col(f"{c}__max"),
+            F.col(f"{c}__mean"),
+        ]
+    return one.select(
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("column", "n_rows", "n_nulls", "n_distinct", "min_value",
+                "max_value", "mean_value")
+    )

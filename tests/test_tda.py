@@ -832,3 +832,20 @@ def test_semantic_dedup_clusters_injected_near_identical_embeddings(spark):
     assert verdict["90001"][0] == verdict["90002"][0]  # same cluster
     kept = [d for d in ("1", "90001", "90002") if d in verdict and verdict[d][1]]
     assert len(kept) == 1  # exactly one survivor among the near-identicals
+
+
+def test_profile_numeric_typed_stats(spark):
+    """profile_numeric: numeric columns auto-picked, typed double min/max,
+    decimal-exact mean, nulls excluded from the mean denominator."""
+    from list_extractor_spark.tda.profile import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "x"), (2, None, "y"), (None, 4.5, "z")],
+        "a int, b double, s string",
+    )
+    rows = {r["column"]: r for r in profile_numeric(df, exact=True).collect()}
+    assert set(rows) == {"a", "b"}  # string column skipped by default
+    assert rows["a"]["n_nulls"] == 1
+    assert rows["a"]["min_value"] == 1.0 and rows["a"]["max_value"] == 2.0
+    assert rows["a"]["mean_value"] == 1.5  # mean over NON-NULL values
+    assert rows["b"]["mean_value"] == 3.5
