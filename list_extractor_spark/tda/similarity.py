@@ -111,8 +111,21 @@ def query_buckets(query, planes, n_probe_buckets: int = 1) -> list[int]:
     other side of (Lv et al., multi-probe LSH, VLDB'07).  n_probe_buckets=1
     is the classic single-bucket probe; the dots are computed with the same
     numpy matmul as hyperplane_buckets so probe and corpus bucketing agree
-    bit-for-bit."""
+    bit-for-bit.
+
+    Probe width is capped at ``len(planes) + 1`` (the base bucket + one
+    single-bit flip per plane — multi-bit flips are not generated; their
+    marginal recall at these plane counts never paid for the extra scan).
+    Asking for more raises rather than silently scanning narrower than
+    requested."""
     import numpy as np
+
+    if n_probe_buckets > len(planes) + 1:
+        raise ValueError(
+            f"n_probe_buckets={n_probe_buckets} exceeds the single-bit-flip "
+            f"ceiling of len(planes)+1={len(planes) + 1}; add planes or "
+            "lower the probe width"
+        )
 
     q = np.asarray([float(v) for v in query], dtype="float64")
     p = np.array([[float(v) for v in pl] for pl in planes], dtype="float64").T

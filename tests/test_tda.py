@@ -849,3 +849,11 @@ def test_profile_numeric_typed_stats(spark):
     assert rows["a"]["min_value"] == 1.0 and rows["a"]["max_value"] == 2.0
     assert rows["a"]["mean_value"] == 1.5  # mean over NON-NULL values
     assert rows["b"]["mean_value"] == 3.5
+
+
+def test_query_buckets_rejects_probe_width_past_flip_ceiling():
+    planes = similarity.make_planes(8, n_planes=4)
+    q = [1.0] * 8
+    assert len(similarity.query_buckets(q, planes, n_probe_buckets=5)) == 5
+    with pytest.raises(ValueError):
+        similarity.query_buckets(q, planes, n_probe_buckets=6)
