@@ -102,6 +102,24 @@ class MapContext:
         self.linker = linker
 
 
+_UNSET = object()  # lazy-memo sentinel for per-call loop-invariant lookups
+
+
+def _match_section_keyword(keywords, sect_name: str):
+    """LAST keyword whose lowercase form substring-matches the section name —
+    exactly the reference's per-element scan (mapper.py:744-747 et al.), which
+    keeps overwriting on every match.  Hoisted out of the element loops:
+    (keywords, sect_name) are loop-invariant, and the repeated
+    sect_name.lower() + k.lower() per element measured as the single biggest
+    cascade cost (map_career ~35% of extract CPU before hoisting)."""
+    sl = sect_name.lower()
+    found = None
+    for k in keywords:
+        if k.lower() in sl:
+            found = k
+    return found
+
+
 def _mint(name: str, dbr: str) -> str:
     """Fallback IRI mint: ' '->'_' then urllib-quote (reference mapper.py:222-226)."""
     return dbr + uri_quote(name.replace(" ", "_"))
@@ -348,20 +366,22 @@ def map_honors(elem_list, sect_name, res, lang, g, elems, ctx):
 
 def map_career(elem_list, sect_name, res, lang, g, elems, ctx):
     """M10 (reference mapper.py:731-783): PERSON_DETAILS-typed edge + years.
-    Section aborted when no CAREER keyword re-matches (return inside loop)."""
+    Section aborted when no CAREER keyword re-matches (return inside loop).
+    The keyword scan is loop-invariant and memoized at the FIRST non-list
+    element (not before the loop: the abort must still fire only when a
+    non-list element is reached, after any leading nested recursions)."""
+    other_details = _UNSET
     for elem in elem_list:
         if isinstance(elem, list):
             elems += 1
             map_career(elem, sect_name, res, lang, g, elems, ctx)
             continue
-        year = month_year_mapper(elem)
-        uri = None
-        other_details = None
-        for other_type in CAREER[lang]:
-            if other_type.lower() in sect_name.lower():
-                other_details = other_type
+        if other_details is _UNSET:
+            other_details = _match_section_keyword(CAREER[lang], sect_name)
         if other_details is None:
             return 0
+        year = month_year_mapper(elem)
+        uri = None
         p = PERSON_DETAILS[lang][other_details]
         uri_name = quote_mapper(elem)
         if uri_name is None or uri_name == res:
@@ -379,20 +399,22 @@ def map_career(elem_list, sect_name, res, lang, g, elems, ctx):
 def map_other_person_details(elem_list, sect_name, res, lang, g, elems, ctx):
     """M11 (reference mapper.py:653-728).  Kept quirk: when the quote extractor
     minted a URI, ref stays None and the general branch still runs, overwriting
-    the quote result (mapper.py:701-721)."""
+    the quote result (mapper.py:701-721).  Keyword scan memoized at the first
+    non-list element (same envelope as map_career)."""
+    other_details = _UNSET
     for elem in elem_list:
         if isinstance(elem, list):
             elems += 1
             map_other_person_details(elem, sect_name, res, lang, g, elems, ctx)
             continue
-        uri = None
-        res_name = italic_mapper(elem)
-        other_details = None
-        for other_type in OTHER_PERSON_DETAILS[lang]:
-            if other_type.lower() in sect_name.lower():
-                other_details = other_type
+        if other_details is _UNSET:
+            other_details = _match_section_keyword(
+                OTHER_PERSON_DETAILS[lang], sect_name
+            )
         if other_details is None:
             return 0
+        uri = None
+        res_name = italic_mapper(elem)
         p = PERSON_DETAILS[lang][other_details]
         if res_name:
             elem = elem.replace(res_name, "")
@@ -623,22 +645,23 @@ def map_user_defined_mappings(mapper_fn_name, elem_list, sect_name, res, lang, g
     mapper_settings = CUSTOM_MAPPERS.get(mapper_fn_name)
     if mapper_settings is None:
         return 0
+    ontology_class = _UNSET  # memoized at the first non-list element
     for elem in elem_list:
         if isinstance(elem, list):
             elems += 1
             map_user_defined_mappings(mapper_fn_name, elem, sect_name, res, lang, g, elems, ctx)
             continue
-        years = []
-        if mapper_settings["years"] == "Yes":
-            years = month_year_mapper(elem)
-        ontology_class = None
-        for class_type in mapper_settings["ontology"][lang]:
-            if class_type.lower() in sect_name.lower():
-                ontology_class = class_type
+        if ontology_class is _UNSET:
+            ontology_class = _match_section_keyword(
+                mapper_settings["ontology"][lang], sect_name
+            )
         if ontology_class is None:
             if mapper_settings["ontology"][lang]["default"] == "None":  # KeyError kept
                 return 0
             ontology_class = "default"
+        years = []
+        if mapper_settings["years"] == "Yes":
+            years = month_year_mapper(elem)
         p = mapper_settings["ontology"][lang][ontology_class]
         extractor_choices = mapper_settings["extractors"]
 
