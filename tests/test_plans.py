@@ -407,3 +407,25 @@ def test_snapshot_joins_degrade_to_shuffle_past_threshold(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == want
+
+
+def test_fits_broadcast_probe_envelope(spark):
+    """fits_broadcast: zero-job plan-stats answer for LocalRelation-backed
+    frames, bounded-count fallback (memoized) for stat-less LogicalRDD plans,
+    and False when broadcast is disabled outright."""
+    from list_extractor_spark.engine.stats import fits_broadcast, stats_size_bytes
+    import pandas as pd
+
+    small = spark.createDataFrame(pd.DataFrame({"a": list(range(10))}))
+    assert stats_size_bytes(small) is not None  # LocalRelation carries stats
+    assert fits_broadcast(small) is True
+    # python-list createDataFrame -> LogicalRDD: no stats, bounded count path
+    rddish = spark.createDataFrame([(i,) for i in range(10)], "a long")
+    assert stats_size_bytes(rddish) is None
+    assert fits_broadcast(rddish) is True
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert fits_broadcast(small) is False  # disabled -> never broadcast
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -857,3 +857,32 @@ def test_query_buckets_rejects_probe_width_past_flip_ceiling():
     assert len(similarity.query_buckets(q, planes, n_probe_buckets=5)) == 5
     with pytest.raises(ValueError):
         similarity.query_buckets(q, planes, n_probe_buckets=6)
+
+
+def test_near_dup_resolve_distributed_matches_unionfind_on_random_graphs(spark):
+    """Property check over random pair graphs: the distributed CC loop must
+    equal the pure union-find on arbitrary topologies (dense cliques, long
+    chains, isolated pairs, duplicate edges) — one Spark session, many seeded
+    graphs (hypothesis would respawn jobs per example; seeded loop is the
+    Spark-friendly form)."""
+    import random
+
+    for seed in (1, 7, 42, 1337):
+        rng = random.Random(seed)
+        n = rng.randint(5, 60)
+        m = rng.randint(1, 2 * n)
+        pairs = [
+            (f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}")
+            for _ in range(m)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        want = sorted(
+            (d, c, d == c) for d, c in _uf_components(pairs).items()
+        )
+        df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+        got = sorted(
+            map(tuple, dedup.near_dup_resolve(df, driver_threshold=0).collect())
+        )
+        assert got == want, f"seed={seed}"
