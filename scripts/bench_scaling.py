@@ -32,8 +32,14 @@ def run_level(cpus: int, n_docs: int) -> dict:
         capture_output=True,
         text=True,
         timeout=1800,
-        check=True,
     )
+    if out.returncode != 0:
+        # surface the inner failure: a swallowed CalledProcessError cost a
+        # 40-minute run with no diagnosis (round 5)
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(
+            f"bench.py exited {out.returncode} at local[{cpus}]; stderr tail above"
+        )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
