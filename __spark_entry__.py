@@ -422,6 +422,12 @@ def _text_token_counts(spark, sf_dir):
     return textstats.token_counts(_load(spark, sf_dir, "documents"))
 
 
+def _text_quality_filter(spark, sf_dir):
+    """Composite Gopher/C4-style keep/drop verdicts with first-failed-rule
+    audit reasons (tda/textstats.quality_filter) — narrow, no UDF."""
+    return textstats.quality_filter(_load(spark, sf_dir, "documents"))
+
+
 def _text_quality(spark, sf_dir):
     return textstats.quality_scores(_load(spark, sf_dir, "documents"))
 
@@ -930,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
+        "text_quality_filter": _text_quality_filter,
         "text_winnow_fingerprint": _text_winnow_fingerprint,
         "text_hash_split": _text_hash_split,
         "text_stratified_sample": _text_stratified_sample,
@@ -1239,6 +1246,39 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
                          / length(text), 4) AS upper_ratio
             FROM documents
+        """,
+        # same feature SQL as text_quality, then the rule cascade in rule
+        # order (first failed rule wins — mirrors the reversed when() fold)
+        "text_quality_filter": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                           / length(text), 4) AS punct_ratio,
+                     round(len(regexp_extract_all(lower(text), '\b(the|and|of|a|to|in|is|it)\b'))
+                           / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio,
+                     round((length(text) - len(regexp_split_to_array(trim(text), '\s+')) + 1)
+                           / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len,
+                     round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                           / length(text), 4) AS upper_ratio
+              FROM documents
+            ), v AS (
+              SELECT doc_id, n_chars, n_tokens,
+                     CASE WHEN n_chars < 200 THEN 'too_short'
+                          WHEN n_chars > 100000 THEN 'too_long'
+                          WHEN n_tokens < 32 THEN 'too_few_tokens'
+                          WHEN mean_word_len < 2.0 THEN 'word_len_low'
+                          WHEN mean_word_len > 12.0 THEN 'word_len_high'
+                          WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+                          WHEN punct_ratio > 0.20 THEN 'punct_heavy'
+                          WHEN upper_ratio > 0.20 THEN 'upper_heavy'
+                          ELSE NULL END AS reason
+              FROM q
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   reason IS NULL AS keep, reason
+            FROM v
         """,
         "sim_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -293,3 +293,54 @@ def line_dedup(documents: DataFrame) -> DataFrame:
             F.round(1 - F.col("n_distinct_lines") / F.col("n_lines"), 6),
         )
     )
+
+
+# default Gopher/C4-style thresholds; every rule is a pure column predicate
+# over quality_scores features, so the filter stays whole-stage codegen
+QUALITY_RULES = {
+    "min_chars": 200,        # Gopher: drop very short documents
+    "max_chars": 100_000,    # and absurdly long ones (boilerplate dumps)
+    "min_tokens": 32,
+    "min_mean_word_len": 2.0,   # Gopher 3-10 band, relaxed low end
+    "max_mean_word_len": 12.0,
+    "min_stopword_ratio": 0.01,  # C4/Gopher: prose has stopwords
+    "max_punct_ratio": 0.20,     # symbol-heavy pages
+    "max_upper_ratio": 0.20,     # SHOUTING / code dumps
+}
+
+
+def quality_filter(documents: DataFrame, rules: dict | None = None) -> DataFrame:
+    """Composite pre-training quality filter (the Gopher rules / C4 heuristics
+    family): every document gets a keep verdict plus the FIRST failed rule as
+    the drop reason — the audit trail a 100-TB curation run needs (how much
+    did each rule cost?).
+
+    One narrow pass: the predicates are plain column expressions over the
+    quality_scores features (no UDF, no shuffle); aggregate drop accounting
+    is a cheap groupBy("reason") the caller can run on the result.
+    Returns (doc_id, n_chars, n_tokens, keep, reason); reason is null for
+    kept documents."""
+    r = dict(QUALITY_RULES)
+    if rules:
+        r.update(rules)
+    q = quality_scores(documents)
+    checks = [
+        ("too_short", F.col("n_chars") < r["min_chars"]),
+        ("too_long", F.col("n_chars") > r["max_chars"]),
+        ("too_few_tokens", F.col("n_tokens") < r["min_tokens"]),
+        ("word_len_low", F.col("mean_word_len") < r["min_mean_word_len"]),
+        ("word_len_high", F.col("mean_word_len") > r["max_mean_word_len"]),
+        ("no_stopwords", F.col("stopword_ratio") < r["min_stopword_ratio"]),
+        ("punct_heavy", F.col("punct_ratio") > r["max_punct_ratio"]),
+        ("upper_heavy", F.col("upper_ratio") > r["max_upper_ratio"]),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, pred in reversed(checks):  # first failed rule wins
+        reason = F.when(pred, F.lit(name)).otherwise(reason)
+    return q.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )

@@ -886,3 +886,30 @@ def test_near_dup_resolve_distributed_matches_unionfind_on_random_graphs(spark):
             map(tuple, dedup.near_dup_resolve(df, driver_threshold=0).collect())
         )
         assert got == want, f"seed={seed}"
+
+
+def test_quality_filter_rules_and_reasons(spark):
+    """quality_filter: keep verdicts + first-failed-rule reasons, override
+    rules honored, and the drop accounting shape."""
+    good = ("The quick brown fox jumps over the lazy dog and runs to the "
+            "river where it drinks in the morning sun. " * 4)
+    docs = spark.createDataFrame(
+        [("ok", good),
+         ("short", "tiny text"),
+         ("shouty", ("THE QUICK BROWN FOX IS VERY LOUD AND KEEPS SHOUTING "
+                     "AT THE TOP OF ITS VOICE ALL DAY LONG. " * 4))],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.quality_filter(docs).collect()}
+    assert out["ok"]["keep"] is True and out["ok"]["reason"] is None
+    assert out["short"]["keep"] is False and out["short"]["reason"] == "too_short"
+    assert out["shouty"]["keep"] is False and out["shouty"]["reason"] == "upper_heavy"
+    # override: relax the length rule -> 'short' now fails on tokens instead
+    relaxed = {
+        r["doc_id"]: r
+        for r in textstats.quality_filter(docs, rules={"min_chars": 1}).collect()
+    }
+    assert relaxed["short"]["reason"] == "too_few_tokens"
+    # no UDF / no shuffle: the filter is a narrow codegen projection
+    plan = textstats.quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "mapInPandas" not in plan
