@@ -533,6 +533,11 @@ def near_dup_resolve(
             pdf, schema="doc_id string, cluster_id string"
         )
     else:
+        # materialize the edge set ONCE: `pairs` is usually the tail of an
+        # expensive lazy plan (a full minhash/simhash pipeline) and the loop
+        # below references it every round on both join sides — without this
+        # checkpoint each round would re-run the entire upstream pipeline
+        edges = edges.localCheckpoint(eager=True)
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )

@@ -429,3 +429,34 @@ def test_fits_broadcast_probe_envelope(spark):
         assert fits_broadcast(small) is False  # disabled -> never broadcast
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_near_dup_resolve_evaluates_upstream_pairs_once(spark):
+    """The distributed CC loop must NOT re-run the (usually expensive)
+    upstream pair pipeline per round: an accumulator-counting UDF upstream
+    of the pairs frame must fire a bounded number of times — the bounded
+    row-estimate pass plus the one edge checkpoint — not once per loop
+    round per join side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from list_extractor_spark.tda import dedup
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tag(s):
+        acc.add(1)
+        return s
+
+    tag_udf = F.udf(tag, StringType())
+    # a 12-long chain: needs several doubling rounds to converge
+    base = spark.createDataFrame(
+        [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(12)],
+        "doc_a string, doc_b string",
+    )
+    pairs = base.select(tag_udf("doc_a").alias("doc_a"), "doc_b")
+    out = dedup.near_dup_resolve(pairs, driver_threshold=0)
+    assert out.count() == 13
+    # estimate pass + checkpoint = 2 evaluations of 12 rows each; anything
+    # >3x means the loop is re-running the upstream plan per round
+    assert acc.value <= 36, acc.value
