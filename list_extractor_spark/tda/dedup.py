@@ -519,6 +519,12 @@ def near_dup_resolve(
         F.col("doc_a").cast("string").alias("u"),
         F.col("doc_b").cast("string").alias("v"),
     )
+    # materialize the edge set ONCE up front: `pairs` is usually the tail of
+    # an expensive lazy plan (a full minhash/simhash pipeline), and every
+    # consumer below — the row estimate, the fast path's collect, the loop's
+    # per-round joins — would otherwise re-run that whole pipeline.  The
+    # loop needs the edges resident anyway, so the checkpoint is the floor.
+    edges = edges.localCheckpoint(eager=True)
     spark = pairs.sparkSession
     n_pairs = _estimate_pair_rows(edges)
     if n_pairs <= driver_threshold:
@@ -533,11 +539,6 @@ def near_dup_resolve(
             pdf, schema="doc_id string, cluster_id string"
         )
     else:
-        # materialize the edge set ONCE: `pairs` is usually the tail of an
-        # expensive lazy plan (a full minhash/simhash pipeline) and the loop
-        # below references it every round on both join sides — without this
-        # checkpoint each round would re-run the entire upstream pipeline
-        edges = edges.localCheckpoint(eager=True)
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
