@@ -586,22 +586,72 @@ def _query_vector(sf_dir):
     return [float(x) for x in vec]
 
 
+def _source_fingerprint(src_path: str) -> str:
+    """Content fingerprint (names+sizes+mtimes) of a parquet file/dir — the
+    cache key for write-once staged artifacts, so a regenerated fixture at
+    the same basename busts the cache instead of serving stale data."""
+    import hashlib
+
+    fp = hashlib.md5()
+    if os.path.isfile(src_path):
+        st = os.stat(src_path)
+        fp.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    for root, _dirs, files in sorted(os.walk(src_path)):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            fp.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return fp.hexdigest()[:12]
+
+
+def _stage_once(sf_dir: str, source: str, tag: str, build) -> str:
+    """Write-once shared staging with the build-then-atomic-rename pattern
+    (concurrent harness runs race on the rename, never on a live dir):
+    ``build(tmp_target)`` materializes into a private dir which is renamed
+    into the fingerprint-keyed shared path.  Saves the multi-second
+    partitioned rewrite every harness run was paying (per-run mkdtemp)."""
+    import shutil
+    import tempfile
+
+    fp = _source_fingerprint(os.path.join(sf_dir, source))
+    shared = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
+    )
+    if not os.path.exists(os.path.join(shared, "_SUCCESS")):
+        tmp = tempfile.mkdtemp(dir=tempfile.gettempdir(), prefix=f"sg_{tag}_b_")
+        target = os.path.join(tmp, "out")
+        build(target)
+        try:
+            os.rename(target, shared)
+        except OSError:
+            pass  # another run won the race; its artifact is identical
+        shutil.rmtree(tmp, ignore_errors=True)
+    return shared
+
+
 def _sim_topk(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return similarity.brute_force_topk(emb, _query_vector(sf_dir), k=10)
 
 
+def _lsh_bucket_path(spark, sf_dir):
+    """Bucket-partitioned embedding materialization, staged write-once per
+    (embeddings fingerprint) and SHARED by the single- and multi-probe
+    queries — same planes, same corpus, so one partitioned write serves
+    both (probing differs only in which bucket= dirs are scanned)."""
+    planes = similarity.make_planes(64, n_planes=6)
+
+    def build(target):
+        emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        similarity.write_bucketed_embeddings(emb, planes, target)
+
+    return _stage_once(sf_dir, "embeddings.parquet", "lshb6", build), planes
+
+
 def _sim_lsh_topk(spark, sf_dir):
     # scale path: bucket-partitioned materialization once, then a
-    # partition-pruned probe (no full-corpus bucket recomputation per query).
-    # per-run temp dir: a fixed shared path would race between concurrent
-    # harness runs (one overwriting partition dirs the other is scanning)
-    import tempfile
-
-    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    planes = similarity.make_planes(64, n_planes=6)
-    path = tempfile.mkdtemp(prefix="sg_lsh_buckets_")
-    similarity.write_bucketed_embeddings(emb, planes, path)
+    # partition-pruned probe (no full-corpus bucket recomputation per query)
+    path, planes = _lsh_bucket_path(spark, sf_dir)
     return similarity.lsh_topk_bucketed(spark, path, _query_vector(sf_dir), planes, k=10)
 
 
@@ -610,12 +660,7 @@ def _sim_lsh_topk_multiprobe(spark, sf_dir):
     # plus the 2 nearest-margin bit-flip neighbors, still a partition-pruned
     # scan (3 of 64 bucket= dirs) — the measured-recall knob
     # (tests/test_ann_recall.py: 0.475 single -> 0.863 at 4 probes)
-    import tempfile
-
-    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    planes = similarity.make_planes(64, n_planes=6)
-    path = tempfile.mkdtemp(prefix="sg_lsh_mp_")
-    similarity.write_bucketed_embeddings(emb, planes, path)
+    path, planes = _lsh_bucket_path(spark, sf_dir)
     return similarity.lsh_topk_bucketed(
         spark, path, _query_vector(sf_dir), planes, k=10, n_probe_buckets=3
     )
@@ -625,12 +670,13 @@ def _sim_ivf_topk(spark, sf_dir):
     # IVF ANN, scale serving shape: deterministic Lloyd coarse quantizer,
     # cells materialized ONCE partitioned by centroid_id, probe = partition-
     # pruned scan of nprobe cell dirs (mirrors _sim_lsh_topk)
-    import tempfile
-
     emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     cents = similarity.kmeans_centroids(emb, k=16, iters=5, sample=4096)
-    path = tempfile.mkdtemp(prefix="sg_ivf_cells_")  # per-run: no cross-run race
-    similarity.write_ivf_cells(emb, cents, path)
+
+    def build(target):
+        similarity.write_ivf_cells(emb, cents, target)
+
+    path = _stage_once(sf_dir, "embeddings.parquet", "ivf16", build)
     return similarity.ivf_topk_partitioned(
         spark, path, cents, _query_vector(sf_dir), k=10, nprobe=2
     )
