@@ -603,21 +603,25 @@ def _source_fingerprint(src_path: str) -> str:
     return fp.hexdigest()[:12]
 
 
-def _stage_once(sf_dir: str, source: str, tag: str, build) -> str:
+def _stage_once(sf_dir: str | None, source: str | None, tag: str, build,
+                marker: str = "_SUCCESS") -> str:
     """Write-once shared staging with the build-then-atomic-rename pattern
-    (concurrent harness runs race on the rename, never on a live dir):
-    ``build(tmp_target)`` materializes into a private dir which is renamed
-    into the fingerprint-keyed shared path.  Saves the multi-second
-    partitioned rewrite every harness run was paying (per-run mkdtemp)."""
+    (concurrent harness runs race on the rename, never on a live or
+    half-written dir): ``build(tmp_target)`` materializes into a private dir
+    which is renamed into the shared path.  When ``sf_dir``/``source`` are
+    given, the path is keyed by a content fingerprint of that source so a
+    regenerated fixture busts the cache; fixture-corpus artifacts (pure
+    functions of the code) pass None and key on the tag alone."""
     import shutil
     import tempfile
 
-    fp = _source_fingerprint(os.path.join(sf_dir, source))
-    shared = os.path.join(
-        tempfile.gettempdir(),
-        f"sg_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
-    )
-    if not os.path.exists(os.path.join(shared, "_SUCCESS")):
+    if sf_dir is not None and source is not None:
+        fp = _source_fingerprint(os.path.join(sf_dir, source))
+        name = f"sg_{tag}_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+    else:
+        name = f"sg_{tag}"
+    shared = os.path.join(tempfile.gettempdir(), name)
+    if not os.path.exists(os.path.join(shared, marker)):
         tmp = tempfile.mkdtemp(dir=tempfile.gettempdir(), prefix=f"sg_{tag}_b_")
         target = os.path.join(tmp, "out")
         build(target)
@@ -721,9 +725,10 @@ def _stream_kg_extract(spark, sf_dir):
         stream_triples,
     )
 
-    src = os.path.join(tempfile.gettempdir(), f"sg_stream_docs_{KG_DOCS}")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        _fixture_documents(spark).write.mode("overwrite").parquet(src)
+    src = _stage_once(
+        None, None, f"stream_docs_{KG_DOCS}",
+        lambda t: _fixture_documents(spark).write.parquet(t),
+    )
     out = tempfile.mkdtemp(prefix="sg_stream_out_")
     ck = tempfile.mkdtemp(prefix="sg_stream_ck_")
     snaps = make_snapshots()
@@ -749,9 +754,10 @@ def _stream_kg_canonical(spark, sf_dir):
         stream_triples,
     )
 
-    src = os.path.join(tempfile.gettempdir(), f"sg_stream_docs_{KG_DOCS}")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        _fixture_documents(spark).write.mode("overwrite").parquet(src)
+    src = _stage_once(
+        None, None, f"stream_docs_{KG_DOCS}",
+        lambda t: _fixture_documents(spark).write.parquet(t),
+    )
     out = tempfile.mkdtemp(prefix="sg_streamc_out_")
     ck = tempfile.mkdtemp(prefix="sg_streamc_ck_")
     snaps = make_snapshots()
@@ -780,13 +786,11 @@ def _stream_windowed_events(spark, sf_dir):
     import tempfile
 
     # the parquet file source streams a DIRECTORY; stage the single file once
-    src = os.path.join(
-        tempfile.gettempdir(), f"sg_events_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    src = _stage_once(
+        sf_dir, "events.parquet", "events_src",
+        lambda t: spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .write.parquet(t),
     )
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).write.mode(
-            "overwrite"
-        ).parquet(src)
     stream = (
         spark.readStream.schema(events_schema)
         .option("maxFilesPerTrigger", 1)
@@ -817,7 +821,6 @@ def _stream_hypertable_rollup(spark, sf_dir):
     micro-batches with the last one carrying late data for an early day.
     The oracle is the one-pass daily SQL over raw events: equality proves
     the streamed refresh loop converges exactly."""
-    import shutil
     import tempfile
 
     from list_extractor_spark.streaming.stream_rollup import stream_rollup_refresh
@@ -828,30 +831,22 @@ def _stream_hypertable_rollup(spark, sf_dir):
     # invalidated day= dirs — the query's cost is partition-dir writes, not
     # rows) so the query stays well inside the harness budget
     cutoff = "2024-01-21"
-    src = os.path.join(
-        tempfile.gettempdir(),
-        f"sg_streamroll_src_{os.path.basename(sf_dir.rstrip('/'))}_{cutoff}",
-    )
-    if not os.path.exists(os.path.join(src, "_BATCHES_STAGED")):
-        # stage into a private dir, atomically rename into the shared path:
-        # a crash mid-staging or a concurrent harness run races on the
-        # rename, never on a half-appended live dir
+
+    def _build_batches(target):
         events = _load(spark, sf_dir, "events").filter(F.to_date("ts") < cutoff)
         late = (F.to_date("ts") == "2024-01-05") & (F.col("event_id") % 2 == 0)
-        tmp = tempfile.mkdtemp(dir=tempfile.gettempdir(), prefix="sg_sr_build_")
-        build = os.path.join(tmp, "src")
         for b in (
             events.filter((F.to_date("ts") < "2024-01-15") & ~late),
             events.filter(F.to_date("ts") >= "2024-01-15"),
             events.filter(late),  # late arrivals for an already-refreshed day
         ):
-            b.coalesce(1).write.mode("append").parquet(build)
-        open(os.path.join(build, "_BATCHES_STAGED"), "w").close()
-        try:
-            os.rename(build, src)
-        except OSError:
-            pass  # another run won the race; its staged batches are identical
-        shutil.rmtree(tmp, ignore_errors=True)
+            b.coalesce(1).write.mode("append").parquet(target)
+        open(os.path.join(target, "_BATCHES_STAGED"), "w").close()
+
+    src = _stage_once(
+        sf_dir, "events.parquet", f"streamroll_{cutoff}", _build_batches,
+        marker="_BATCHES_STAGED",
+    )
     stream = (
         spark.readStream.schema(_load(spark, sf_dir, "events").schema)
         .option("maxFilesPerTrigger", 1)
@@ -875,11 +870,12 @@ def _stream_stateful_dedup(spark, sf_dir):
 
     from list_extractor_spark.streaming.stateful import streaming_exact_dedup
 
-    src = os.path.join(tempfile.gettempdir(), f"sg_statedup_docs_{KG_DOCS}")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+    def _build_dup_docs(t):
         docs = _fixture_documents(spark)
         dups = docs.limit(10).withColumn("doc_id", F.concat(F.lit("dup_"), "doc_id"))
-        docs.unionByName(dups).repartition(1).write.mode("overwrite").parquet(src)
+        docs.unionByName(dups).repartition(1).write.parquet(t)
+
+    src = _stage_once(None, None, f"statedup_docs_{KG_DOCS}", _build_dup_docs)
     stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(src)
     out = tempfile.mkdtemp(prefix="sg_statedup_out_")
     ck = tempfile.mkdtemp(prefix="sg_statedup_ck_")
