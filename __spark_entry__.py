@@ -509,6 +509,21 @@ def _text_line_dedup(spark, sf_dir):
     )
 
 
+def _text_line_filter(spark, sf_dir):
+    # C4 line-level cleaning (tda/textstats.line_filter); sentences become
+    # lines via a punctuation-PRESERVING '. ' -> '.\n' replace (unlike
+    # line_dedup's, so the terminal-punctuation rule stays meaningful)
+    from list_extractor_spark.tda.textstats import line_filter
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr("replace(text, '. ', '.\n')").alias("text"),
+    )
+    return line_filter(docs).select(
+        "doc_id", "text", "n_lines", "n_kept", "drop_line_ratio"
+    )
+
+
 def _text_stratified_sample(spark, sf_dir):
     # deterministic per-language downsampling (tda/sampling.stratified_sample):
     # keep all English, 40% of German, 10% of everything else — the
@@ -984,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stratified_sample": _text_stratified_sample,
         "text_pack_documents": _text_pack_documents,
         "text_line_dedup": _text_line_dedup,
+        "text_line_filter": _text_line_filter,
         "sim_topk": _sim_topk,
         "sim_lsh_topk": _sim_lsh_topk,
         "sim_lsh_topk_multiprobe": _sim_lsh_topk_multiprobe,
@@ -1199,6 +1215,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM events
         """,
         "q_profile_numeric": _profile_numeric_sql(),
+        "text_line_filter": r"""
+            WITH l AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     string_split(replace(text, '. ', '.' || chr(10)), chr(10)) AS ls
+              FROM documents
+            ), e AS (
+              SELECT doc_id, i AS pos, ls[i] AS line, len(ls) AS n_lines
+              FROM l, unnest(generate_series(1, len(ls))) AS u(i)
+            ), v AS (
+              SELECT doc_id, pos, line, n_lines,
+                     (len(regexp_split_to_array(trim(line), '\s+')) >= 3
+                      AND regexp_matches(line, '[.!?"]\s*$')
+                      AND lower(line) NOT LIKE '%lorem ipsum%'
+                      AND lower(line) NOT LIKE '%{%'
+                      AND lower(line) NOT LIKE '%javascript%') AS keep
+              FROM e
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                       ORDER BY pos), '') AS text,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   round(1 - sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                             / count(*), 6) AS drop_line_ratio
+            FROM v GROUP BY doc_id
+        """,
         "text_line_dedup": """
             WITH l AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -344,3 +344,47 @@ def quality_filter(documents: DataFrame, rules: dict | None = None) -> DataFrame
         reason.isNull().alias("keep"),
         reason.alias("reason"),
     )
+
+
+def line_filter(
+    documents: DataFrame,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    ban_substrings: tuple = ("lorem ipsum", "{", "javascript"),
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that look like prose — >= ``min_words`` words, terminated by
+    sentence punctuation, and free of boilerplate markers — and report the
+    per-document drop accounting.
+
+    Output: (doc_id, text [kept lines, order preserved], n_lines, n_kept,
+    drop_line_ratio).  All JVM-side: one posexplode, pure column predicates,
+    reassembly via sort_array(collect_list(struct)).line (codegen
+    GetArrayStructFields, no interpreted transform()) — ONE exchange, keyed
+    by doc_id (no window needed: the keep decision is per line)."""
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    keep = F.size(F.split(F.trim("line"), r"\s+")) >= min_words
+    if require_terminal_punct:
+        keep = keep & F.col("line").rlike(r'[.!?"]\s*$')
+    for b in ban_substrings:
+        keep = keep & ~F.lower("line").contains(b.lower())
+    return (
+        lines.withColumn("keep", keep)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+                ).getField("line"),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .withColumn(
+            "drop_line_ratio",
+            F.round(1 - F.col("n_kept") / F.col("n_lines"), 6),
+        )
+    )

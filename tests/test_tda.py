@@ -913,3 +913,24 @@ def test_quality_filter_rules_and_reasons(spark):
     # no UDF / no shuffle: the filter is a narrow codegen projection
     plan = textstats.quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "mapInPandas" not in plan
+
+
+def test_line_filter_c4_rules(spark):
+    """line_filter: terminal punctuation, min words, banned substrings, order
+    preserved, zero-kept documents yield empty text (not null)."""
+    docs = spark.createDataFrame(
+        [
+            ("a", "This line is proper prose.\nshort\nAnother good sentence here!\n"
+                  "this one has no terminal punctuation\n"
+                  "Contains lorem ipsum filler text.\nfunction() { code; }"),
+            ("b", "nothing survives here"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.line_filter(docs).collect()}
+    assert out["a"]["text"] == "This line is proper prose.\nAnother good sentence here!"
+    assert out["a"]["n_lines"] == 6 and out["a"]["n_kept"] == 2
+    assert out["b"]["text"] == "" and out["b"]["n_kept"] == 0
+    # single exchange, no python workers
+    plan = textstats.line_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "mapInPandas" not in plan
