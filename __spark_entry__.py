@@ -710,6 +710,15 @@ def _sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def _sim_semantic_resolve(spark, sf_dir):
+    """Full SemDeDup verdict: the semantic pair graph resolved to clusters
+    with a keep_min survivor per cluster (tda/similarity.semantic_dedup ->
+    near_dup_resolve) — graded against a recursive-CTE closure oracle."""
+    return similarity.semantic_dedup(
+        _load(spark, sf_dir, "embeddings"), k=16, threshold=0.3
+    )
+
+
 def _sim_near_dup(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(
         _load(spark, sf_dir, "embeddings"), threshold=0.5
@@ -1007,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup": _sim_near_dup,
         "sim_near_dup_lsh": _sim_near_dup_lsh,
         "sim_semantic_dedup": _sim_semantic_dedup,
+        "sim_semantic_resolve": _sim_semantic_resolve,
         "media_stats": _media_stats,
         "media_features": _media_features,
         "media_resize": _media_resize,

@@ -558,6 +558,56 @@ def semantic_dedup_sql(sf_dir: str, k_cents: int = 16, iters: int = 5,
     """
 
 
+def semantic_resolve_sql(sf_dir: str, k_cents: int = 16, iters: int = 5,
+                         sample: int = 4096, threshold: float = 0.3) -> str:
+    """Full SemDeDup verdict oracle: the same in-cell cosine pair graph as
+    semantic_dedup_sql, resolved to connected components with a RECURSIVE
+    transitive-closure CTE — cluster_id = min member, compared as VARCHAR
+    (near_dup_resolve casts ids to string, and '10' < '9' lexically, so the
+    oracle must min over the SAME collation)."""
+    import duckdb
+
+    from ..tda.similarity import lloyd_centroids
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{emb_path}' ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    cents = lloyd_centroids([r[0] for r in rows], k_cents, iters)
+    score_cols, case = _argmin_cells_sql(cents)
+    cos = (
+        "list_dot_product(a.embedding, b.embedding) "
+        "/ (sqrt(list_dot_product(a.embedding, a.embedding)) "
+        "* sqrt(list_dot_product(b.embedding, b.embedding)))"
+    )
+    return f"""
+        WITH RECURSIVE scored AS (
+          SELECT vec_id, embedding, {score_cols} FROM embeddings
+        ),
+        cells AS (
+          SELECT vec_id, embedding, {case} AS centroid_id FROM scored
+        ),
+        p AS (
+          SELECT CAST(a.vec_id AS VARCHAR) AS ia, CAST(b.vec_id AS VARCHAR) AS ib
+          FROM cells a JOIN cells b
+            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          WHERE {cos} >= {threshold}
+        ),
+        und AS (
+          SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        )
+        SELECT a AS doc_id,
+               least(a, min(b)) AS cluster_id,
+               a = least(a, min(b)) AS keep
+        FROM reach GROUP BY a
+    """
+
+
 def ivf_topk_sql(sf_dir: str, k_cents: int = 16, iters: int = 5,
                  sample: int = 4096, nprobe: int = 2, k: int = 10) -> str:
     """IVF ANN oracle: centroids from the shared Lloyd loop (bit-identical to
@@ -684,6 +734,7 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
         "sim_near_dup_lsh": near_dup_lsh_sql(),
         "sim_ivf_topk": ivf_topk_sql(sf_dir),
         "sim_semantic_dedup": semantic_dedup_sql(sf_dir),
+        "sim_semantic_resolve": semantic_resolve_sql(sf_dir),
     }
 
 
