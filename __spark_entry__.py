@@ -509,6 +509,17 @@ def _text_line_dedup(spark, sf_dir):
     )
 
 
+def _text_top_ngrams(spark, sf_dir):
+    """Corpus-level top-k bigram frequency (tda/textstats.top_ngrams) — the
+    boilerplate-detection pass; map-side partial agg + TakeOrdered."""
+    return textstats.top_ngrams(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        n=2, k=20,
+    )
+
+
 def _text_line_filter(spark, sf_dir):
     # C4 line-level cleaning (tda/textstats.line_filter); sentences become
     # lines via a punctuation-PRESERVING '. ' -> '.\n' replace (unlike
@@ -1009,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_documents": _text_pack_documents,
         "text_line_dedup": _text_line_dedup,
         "text_line_filter": _text_line_filter,
+        "text_top_ngrams": _text_top_ngrams,
         "sim_topk": _sim_topk,
         "sim_lsh_topk": _sim_lsh_topk,
         "sim_lsh_topk_multiprobe": _sim_lsh_topk_multiprobe,
@@ -1225,6 +1237,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM events
         """,
         "q_profile_numeric": _profile_numeric_sql(),
+        "text_top_ngrams": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+              FROM documents
+            ), g AS (
+              SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+              FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+              WHERE len(ts) >= 2
+            )
+            SELECT gram,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM g GROUP BY gram
+            ORDER BY n_occurrences DESC, gram ASC
+            LIMIT 20
+        """,
         "text_line_filter": r"""
             WITH l AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -388,3 +388,34 @@ def line_filter(
             F.round(1 - F.col("n_kept") / F.col("n_lines"), 6),
         )
     )
+
+
+def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level n-gram frequency table, top-k: the vocabulary /
+    boilerplate-detection pass (the grams that dominate a crawl are almost
+    always template text — candidates for the line_filter ban list).
+
+    Output: (gram, n_docs, n_occurrences), ordered by occurrences desc with
+    a deterministic gram tie-break, limited to k.
+
+    Scale shape: grams form in the scan task via explode(sequence) + slice +
+    array_join (codegen — no interpreted transform() lambda, the measured
+    HOF trap), the count aggregates map-side before one shuffle on gram, and
+    the top-k is TakeOrdered (no global sort).  Distinct-doc counts ride the
+    same aggregation via count_distinct."""
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    d = documents.select("doc_id", t.alias("t")).filter(F.size("t") >= n)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1))).alias("pos"),
+        "t",
+    ).select("doc_id", F.array_join(F.slice("t", F.col("pos"), n), " ").alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )

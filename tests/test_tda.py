@@ -934,3 +934,20 @@ def test_line_filter_c4_rules(spark):
     # single exchange, no python workers
     plan = textstats.line_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1 and "mapInPandas" not in plan
+
+
+def test_top_ngrams_counts_and_plan(spark):
+    docs = spark.createDataFrame(
+        [("a", "the quick fox and the quick dog"),
+         ("b", "the quick fox again"),
+         ("c", "x")],  # below n -> contributes nothing
+        "doc_id string, text string",
+    )
+    rows = textstats.top_ngrams(docs, n=2, k=3).collect()
+    assert (rows[0]["gram"], rows[0]["n_docs"], rows[0]["n_occurrences"]) == (
+        "the quick", 2, 3
+    )
+    assert rows[1]["gram"] == "quick fox" and rows[1]["n_occurrences"] == 2
+    plan = textstats.top_ngrams(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k without a global sort
+    assert "mapInPandas" not in plan
