@@ -520,6 +520,19 @@ def _text_top_ngrams(spark, sf_dir):
     )
 
 
+def _text_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (tda/sampling.chunk_documents):
+    128-token windows, 16-token overlap — fully narrow, no shuffle."""
+    from list_extractor_spark.tda.sampling import chunk_documents
+
+    return chunk_documents(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        chunk_tokens=128, overlap=16,
+    )
+
+
 def _text_line_filter(spark, sf_dir):
     # C4 line-level cleaning (tda/textstats.line_filter); sentences become
     # lines via a punctuation-PRESERVING '. ' -> '.\n' replace (unlike
@@ -1018,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_split": _text_hash_split,
         "text_stratified_sample": _text_stratified_sample,
         "text_pack_documents": _text_pack_documents,
+        "text_chunk_documents": _text_chunk_documents,
         "text_line_dedup": _text_line_dedup,
         "text_line_filter": _text_line_filter,
         "text_top_ngrams": _text_top_ngrams,
@@ -1237,6 +1251,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR) FROM events
         """,
         "q_profile_numeric": _profile_numeric_sql(),
+        "text_chunk_documents": r"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS ts,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n
+              FROM documents
+            ), c AS (
+              SELECT doc_id, ts, n, i AS chunk_idx
+              FROM t, unnest(generate_series(
+                     0, CAST(greatest(1, ceil((n - 16) / 112.0)) AS INT) - 1
+                   )) AS u(i)
+            )
+            SELECT doc_id,
+                   CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                   array_to_string(ts[chunk_idx*112 + 1 : chunk_idx*112 + 128],
+                                   ' ') AS text,
+                   CAST(least(128, n - chunk_idx*112) AS INTEGER) AS n_tokens
+            FROM c
+        """,
         "text_top_ngrams": r"""
             WITH t AS (
               SELECT doc_id,

@@ -115,3 +115,48 @@ def stratified_sample(documents: DataFrame, rates: dict[str, float],
         else rate.otherwise(F.lit(int(round(default_rate * _SPLIT_BUCKETS))))
     )
     return documents.filter(bucket < rate)
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 128, overlap: int = 16
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window chunking step between cleaning and packing in a training
+    pipeline (overlap keeps boundary sentences learnable in two windows).
+
+    Output: (doc_id, chunk_idx, text, n_tokens); every document yields at
+    least one chunk (short docs pass through whole), chunk i starts at
+    token i*(chunk_tokens-overlap), and the last chunk may be short.
+
+    Scale shape: fully narrow — tokens split in the scan task, chunk fan-out
+    via explode(sequence), window text via slice + array_join (all codegen,
+    no interpreted HOF, no python); output rows ~ corpus_tokens /
+    (chunk_tokens - overlap), no shuffle at all."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    t = F.split(F.trim("text"), r"\s+")
+    d = documents.select("doc_id", t.alias("t")).withColumn("n", F.size("t"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("n") - F.lit(overlap)) / F.lit(float(step)))
+    )
+    return (
+        d.select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice("t", F.col("chunk_idx") * step + 1, chunk_tokens), " "
+            ).alias("text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("n") - F.col("chunk_idx") * step
+            ).cast("int").alias("n_tokens"),
+        )
+    )

@@ -951,3 +951,27 @@ def test_top_ngrams_counts_and_plan(spark):
     plan = textstats.top_ngrams(docs)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k without a global sort
     assert "mapInPandas" not in plan
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from list_extractor_spark.tda.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [("a", " ".join(f"w{i}" for i in range(300))), ("b", "short doc here")],
+        "doc_id string, text string",
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=128, overlap=16).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    a = [r for r in rows if r["doc_id"] == "a"]
+    assert [r["n_tokens"] for r in a] == [128, 128, 76]  # ceil((300-16)/112)=3
+    # overlap: chunk1 starts 16 tokens before chunk0 ends
+    assert a[0]["text"].split()[-16:] == a[1]["text"].split()[:16]
+    assert a[2]["text"].split()[-1] == "w299"  # tail covered
+    b = [r for r in rows if r["doc_id"] == "b"]
+    assert len(b) == 1 and b[0]["n_tokens"] == 3  # short doc passes whole
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "mapInPandas" not in plan  # fully narrow
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=16, overlap=16)
