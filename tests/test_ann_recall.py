@@ -93,3 +93,36 @@ def test_ivf_recall_vs_nprobe(spark, tmp_path, planted):
     assert n2 >= n1
     assert n1 >= 0.60   # the planted cluster usually maps to one cell
     assert n2 >= 0.90   # two cells recover boundary-straddling clusters
+
+
+def test_semantic_dedup_planted_near_dup_recall(spark):
+    """SemDeDup recall gate at the threshold band it exists for: plant 40
+    near-identical copies (cos > 0.999) of existing corpus vectors and
+    require the cell-blocked pair pass to recover >= 90% of them — a
+    near-identical pair can only be missed when the quantizer splits two
+    almost-coincident points across a cell boundary, which must stay rare.
+    (At LOW thresholds cell blocking is measured much weaker — recall 0.45
+    at cos 0.3 with k=4 — which is the documented trade: SemDeDup is a
+    near-duplicate operator, not a general similarity join.)"""
+    import numpy as np
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = base.orderBy("vec_id").limit(40).collect()
+    rng = np.random.default_rng(7)
+    extra = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype="float64")
+        noisy = v * (1.0 + rng.normal(0, 1e-4, size=v.shape))
+        extra.append((int(r["vec_id"]) + 900000, [float(x) for x in noisy], 99))
+    emb = base.select("vec_id", "embedding", "label").unionByName(
+        spark.createDataFrame(
+            extra, schema=base.select("vec_id", "embedding", "label").schema
+        )
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.semantic_dedup_pairs(emb, k=8, threshold=0.999).collect()
+    }
+    want = {(int(r["vec_id"]), int(r["vec_id"]) + 900000) for r in rows}
+    recall = len(pairs & want) / len(want)
+    assert recall >= 0.9, (recall, sorted(want - pairs)[:5])
