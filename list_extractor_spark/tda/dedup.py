@@ -559,10 +559,12 @@ def near_dup_resolve(
                 .agg(F.min("nl").alias("nbr_min"))
             )
             prop = (
-                labels.join(nbr, "u", "left")
+                labels.select("u", F.col("label").alias("prev"))
+                .join(nbr, "u", "left")
                 .select(
                     "u",
-                    F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+                    "prev",
+                    F.least("prev", F.coalesce("nbr_min", "prev")).alias("label"),
                 )
                 # materialize BEFORE the shortcut self-join: a lazy plan
                 # referenced on both sides would re-run the propagate join
@@ -570,6 +572,11 @@ def near_dup_resolve(
             )
             # shortcut: label(u) <- label(label(u)) (pointer doubling; min
             # labels are monotone, so this only ever jumps CLOSER to the root)
+            # convergence compares the round's FINAL label against its
+            # STARTING label (prev): a round where only the propagate step
+            # lowers a label (shortcut idle) must still count as changed, or
+            # the loop breaks before the component minimum reaches every node
+            # (repro: chain (1,8),(8,9),(9,5) — round 2 is propagate-only).
             nxt = (
                 prop.alias("a")
                 .join(
@@ -584,9 +591,10 @@ def near_dup_resolve(
                     F.least(
                         F.col("a.label"), F.coalesce("b.l_label", "a.label")
                     ).alias("label"),
-                    (F.coalesce("b.l_label", "a.label") < F.col("a.label")).alias(
-                        "changed"
-                    ),
+                    (
+                        F.least(F.col("a.label"), F.coalesce("b.l_label", "a.label"))
+                        < F.col("a.prev")
+                    ).alias("changed"),
                 )
                 .localCheckpoint(eager=True)
             )

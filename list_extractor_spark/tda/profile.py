@@ -54,10 +54,13 @@ def profile_numeric(df: DataFrame, columns: list[str] | None = None,
     with min/max/mean as DOUBLE, still ONE aggregation pass.
 
     ``columns`` defaults to every numeric column.  The mean accumulates as
-    DECIMAL(28,10) (exact, order-independent — a double sum's value depends
+    DECIMAL(38,10) (exact, order-independent — a double sum's value depends
     on partition reduce order, which would flake any cross-engine
     comparison), then divides and rounds in double: one deterministic
-    rounding step on each engine."""
+    rounding step on each engine.  38,10 = 28 integer digits per value;
+    values at |x| >= 1e28 would overflow the cast and (non-ANSI) null the
+    mean — past double's exact-integer range anyway, where a "mean" is
+    already nominal."""
     from pyspark.sql.types import NumericType
 
     cols = columns or [
@@ -72,7 +75,7 @@ def profile_numeric(df: DataFrame, columns: list[str] | None = None,
             F.min(F.col(c)).cast("double").alias(f"{c}__min"),
             F.max(F.col(c)).cast("double").alias(f"{c}__max"),
             F.round(
-                F.sum(F.col(c).cast("decimal(28,10)")).cast("double")
+                F.sum(F.col(c).cast("decimal(38,10)")).cast("double")
                 / F.count(F.col(c)),
                 4,
             ).alias(f"{c}__mean"),

@@ -53,9 +53,11 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
+def quality_scores(documents: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Heuristic quality features: length, punctuation ratio, stopword ratio,
-    mean word length, uppercase ratio — the usual pre-training filters."""
+    mean word length, uppercase ratio — the usual pre-training filters.
+    ``extra_cols`` passes input columns through (e.g. text, so a downstream
+    filter stage needs no self-join back to the corpus)."""
     n_chars = F.length("text")
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
@@ -67,6 +69,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     n_upper = F.length(F.regexp_replace("text", r"[^A-Z]", ""))
     return documents.select(
         "doc_id",
+        *extra_cols,
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(n_punct / n_chars, 4).alias("punct_ratio"),
@@ -309,7 +312,9 @@ QUALITY_RULES = {
 }
 
 
-def quality_filter(documents: DataFrame, rules: dict | None = None) -> DataFrame:
+def quality_filter(
+    documents: DataFrame, rules: dict | None = None, keep_text: bool = False
+) -> DataFrame:
     """Composite pre-training quality filter (the Gopher rules / C4 heuristics
     family): every document gets a keep verdict plus the FIRST failed rule as
     the drop reason — the audit trail a 100-TB curation run needs (how much
@@ -323,7 +328,7 @@ def quality_filter(documents: DataFrame, rules: dict | None = None) -> DataFrame
     r = dict(QUALITY_RULES)
     if rules:
         r.update(rules)
-    q = quality_scores(documents)
+    q = quality_scores(documents, extra_cols=("text",) if keep_text else ())
     checks = [
         ("too_short", F.col("n_chars") < r["min_chars"]),
         ("too_long", F.col("n_chars") > r["max_chars"]),
@@ -337,13 +342,16 @@ def quality_filter(documents: DataFrame, rules: dict | None = None) -> DataFrame
     reason = F.lit(None).cast("string")
     for name, pred in reversed(checks):  # first failed rule wins
         reason = F.when(pred, F.lit(name)).otherwise(reason)
-    return q.select(
+    cols = [
         "doc_id",
         "n_chars",
         "n_tokens",
         reason.isNull().alias("keep"),
         reason.alias("reason"),
-    )
+    ]
+    if keep_text:
+        cols.append("text")  # narrow pass-through: no join back to the corpus
+    return q.select(*cols)
 
 
 def line_filter(

@@ -849,6 +849,11 @@ def test_profile_numeric_typed_stats(spark):
     assert rows["a"]["min_value"] == 1.0 and rows["a"]["max_value"] == 2.0
     assert rows["a"]["mean_value"] == 1.5  # mean over NON-NULL values
     assert rows["b"]["mean_value"] == 3.5
+    # large-magnitude doubles must not overflow the decimal accumulator into
+    # a silent NULL mean (r5 ADVICE: 28,10 had only 18 integer digits)
+    big = spark.createDataFrame([(1e20,), (3e20,)], "x double")
+    brows = {r["column"]: r for r in profile_numeric(big, exact=True).collect()}
+    assert brows["x"]["mean_value"] == 2e20
 
 
 def test_query_buckets_rejects_probe_width_past_flip_ceiling():
@@ -886,6 +891,36 @@ def test_near_dup_resolve_distributed_matches_unionfind_on_random_graphs(spark):
             map(tuple, dedup.near_dup_resolve(df, driver_threshold=0).collect())
         )
         assert got == want, f"seed={seed}"
+
+
+def test_near_dup_resolve_distributed_propagate_only_round_converges(spark):
+    """Directed adversarial regression (r5 ADVICE): a round where only the
+    min-label PROPAGATE step lowers a label (pointer-doubling shortcut idle)
+    must still count as changed.  Chain (1,8),(8,9),(9,5) breaks a convergence
+    flag that watches the shortcut alone — '5' ends stranded as its own
+    cluster/survivor instead of joining cluster '1'.  Variants permute which
+    end of the chain holds the component minimum."""
+    chains = [
+        [("1", "8"), ("8", "9"), ("9", "5")],
+        [("5", "9"), ("9", "8"), ("8", "1")],
+        [("9", "1"), ("1", "5"), ("5", "8")],
+        [("7", "3"), ("3", "6"), ("6", "2"), ("2", "9"), ("9", "4")],
+    ]
+    import random
+
+    for seed in (11, 23):  # long chains with shuffled (non-monotone) ids
+        rng = random.Random(seed)
+        n = rng.randint(8, 40)
+        names = [f"n{i:03d}" for i in range(n)]
+        rng.shuffle(names)
+        chains.append([(names[i], names[i + 1]) for i in range(n - 1)])
+    for pairs in chains:
+        want = sorted((d, c, d == c) for d, c in _uf_components(pairs).items())
+        df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+        got = sorted(
+            map(tuple, dedup.near_dup_resolve(df, driver_threshold=0).collect())
+        )
+        assert got == want, f"chain={pairs}"
 
 
 def test_quality_filter_rules_and_reasons(spark):
