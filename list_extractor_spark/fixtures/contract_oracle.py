@@ -320,9 +320,12 @@ def simhash_fp_rows(sf_dir: str, bits: int = 32):
 
 
 def minhash_lsh_rows(sf_dir: str, k: int = 16, bands: int = 4, threshold: float = 0.2,
-                     bucket_cap: int | None = None):
+                     bucket_cap: int | None = None, docs=None):
     rows_per_band = k // bands
-    shingle_sets = {d: _py_shingles(t) for d, t in _sf_documents(sf_dir)}
+    shingle_sets = {
+        d: _py_shingles(t)
+        for d, t in (docs if docs is not None else _sf_documents(sf_dir))
+    }
     sigs = {}
     for doc_id, shs in shingle_sets.items():
         if not shs:
@@ -367,6 +370,27 @@ def near_dup_resolve_rows(sf_dir: str, threshold: float = 0.2,
     return sorted((d, c, d == c) for d, c in comp.items())
 
 
+def near_dup_resolve_longest_rows(sf_dir: str, threshold: float = 0.2,
+                                  bucket_cap: int | None = 50):
+    """Expected rows of near_dup_resolve(policy='keep_longest'): same
+    union-find clusters, survivor = longest text (codepoints), ties to the
+    smaller doc_id — the policy a real corpus dedup wants (keep the most
+    complete copy)."""
+    from ..core.components import components
+
+    texts = dict(_sf_documents(sf_dir))
+    prs = [(a, b) for a, b, _j in
+           minhash_lsh_rows(sf_dir, threshold=threshold, bucket_cap=bucket_cap)]
+    clusters: dict = {}
+    for d, c in components(prs).items():
+        clusters.setdefault(c, []).append(d)
+    out = []
+    for c, members in clusters.items():
+        best = min(members, key=lambda d: (-len(texts[d]), d))
+        out.extend((d, c, d == best) for d in members)
+    return sorted(out)
+
+
 def dedup_corpus_sql(sf_dir: str) -> str:
     """Deduplicated-corpus oracle: every document id except the
     non-surviving near-dup cluster members."""
@@ -376,6 +400,170 @@ def dedup_corpus_sql(sf_dir: str) -> str:
         return base
     lits = ", ".join("'" + d.replace("'", "''") + "'" for d in drop)
     return f"{base} WHERE CAST(doc_id AS VARCHAR) NOT IN ({lits})"
+
+
+# -- end-to-end curation pipeline oracle --------------------------------------
+#
+# The composite query (tda/curate.curate_corpus) chains quality filter ->
+# line filter -> minhash dedup -> decontamination -> hash split -> packing.
+# The filter stages reuse the SAME DuckDB formulations as their standalone
+# contract oracles (text_quality_filter / text_line_filter in
+# __spark_entry__.py — keep in sync); the hash-dependent drop sets (minhash
+# clusters, shingle contamination) are precomputed here over the duckdb-
+# cleaned texts and embedded as NOT IN literals, exactly like dedup_corpus_sql.
+
+_CURATE_CLEAN_SQL = r"""
+    WITH src AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             replace(text, '. ', '.' || chr(10)) AS text
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   / length(text), 4) AS punct_ratio,
+             round(len(regexp_extract_all(lower(text), '\b(the|and|of|a|to|in|is|it)\b'))
+                   / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio,
+             round((length(text) - len(regexp_split_to_array(trim(text), '\s+')) + 1)
+                   / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len,
+             round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                   / length(text), 4) AS upper_ratio
+      FROM src
+    ), keepv AS (
+      SELECT doc_id FROM q
+      WHERE NOT (n_chars < 200 OR n_chars > 100000 OR n_tokens < 32
+                 OR mean_word_len < 2.0 OR mean_word_len > 12.0
+                 OR stopword_ratio < 0.01 OR punct_ratio > 0.20
+                 OR upper_ratio > 0.20)
+    ), kept AS (
+      SELECT s.doc_id, s.text FROM src s JOIN keepv USING (doc_id)
+    ), lns AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM kept
+    ), ex AS (
+      SELECT doc_id, i AS pos, ls[i] AS line
+      FROM lns, unnest(generate_series(1, len(ls))) AS u(i)
+    ), lv AS (
+      SELECT doc_id, pos, line,
+             (len(regexp_split_to_array(trim(line), '\s+')) >= 3
+              AND lower(line) NOT LIKE '%lorem ipsum%'
+              AND lower(line) NOT LIKE '%{%'
+              AND lower(line) NOT LIKE '%javascript%') AS keep
+      FROM ex
+    ), cleaned AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                 ORDER BY pos), '') AS text
+      FROM lv GROUP BY doc_id
+    )
+"""
+
+_CURATE_BUCKET = """(strpos('0123456789abcdef', substr(md5(doc_id), 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(md5(doc_id), 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(md5(doc_id), 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(doc_id), 4, 1)) - 1)"""
+
+
+def _duck_docs_con(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+    )
+    return con
+
+
+def _curate_cleaned_docs(sf_dir: str):
+    """(doc_id, cleaned_text) after quality + line filtering, duckdb-side."""
+    con = _duck_docs_con(sf_dir)
+    return con.execute(
+        _CURATE_CLEAN_SQL
+        + " SELECT doc_id, text FROM cleaned WHERE length(text) > 0"
+        + " ORDER BY doc_id"
+    ).fetchall()
+
+
+def _curate_contaminated(sf_dir: str, surv_rows, n: int = 5, min_hits: int = 3):
+    """doc_ids among the dedup survivors sharing >= min_hits distinct
+    n-token shingles with any eval doc (eval = raw doc_id % 29 = 3 slice,
+    re-keyed — same construction as the dedup_decontaminate query)."""
+    import pandas as pd
+
+    con = _duck_docs_con(sf_dir)
+    con.register("surv", pd.DataFrame(surv_rows, columns=["doc_id", "text"]))
+    lo, hi = 1, n - 1  # t[i:i+(n-1)] is an inclusive n-element slice
+    q = rf"""
+      WITH tr AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM surv
+      ), trs AS (
+        SELECT doc_id, array_to_string(t[i:i+{hi}], ' ') AS sh
+        FROM tr, unnest(generate_series({lo}, len(t)-{hi})) AS u(i)
+        WHERE len(t) >= {n}
+      ), ev AS (
+        SELECT 'e' || CAST(doc_id AS VARCHAR) AS eval_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents WHERE doc_id % 29 = 3
+      ), evs AS (
+        SELECT DISTINCT eval_id, array_to_string(t[i:i+{hi}], ' ') AS sh
+        FROM ev, unnest(generate_series({lo}, len(t)-{hi})) AS u(i)
+        WHERE len(t) >= {n}
+      )
+      SELECT DISTINCT doc_id FROM (
+        SELECT trs.doc_id FROM trs JOIN evs USING (sh)
+        GROUP BY trs.doc_id, evs.eval_id
+        HAVING count(DISTINCT trs.sh) >= {min_hits}
+      )
+    """
+    return {r[0] for r in con.execute(q).fetchall()}
+
+
+def _not_in(col: str, vals) -> str:
+    if not vals:
+        return ""
+    lits = ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(vals))
+    return f"\n        AND {col} NOT IN ({lits})"
+
+
+def curate_pipeline_sql(sf_dir: str, budget_tokens: int = 512,
+                        n_ranges: int = 4) -> str:
+    """Full oracle for the text_curate_pipeline contract query."""
+    from ..core.components import components
+
+    cleaned = _curate_cleaned_docs(sf_dir)
+    prs = [(a, b) for a, b, _j in
+           minhash_lsh_rows(sf_dir, threshold=0.2, bucket_cap=50, docs=cleaned)]
+    drop_dedup = {d for d, c in components(prs).items() if d != c}
+    surv1 = [(d, t) for d, t in cleaned if d not in drop_dedup]
+    drop_contam = _curate_contaminated(sf_dir, surv1)
+    b1 = int(round(0.9 * 65536))
+    b2 = int(round(0.95 * 65536))
+    return (
+        _CURATE_CLEAN_SQL
+        + f""", surv AS (
+      SELECT doc_id, text FROM cleaned
+      WHERE length(text) > 0{_not_in('doc_id', drop_dedup)}{_not_in('doc_id', drop_contam)}
+    ), t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens,
+             {_CURATE_BUCKET} AS bucket
+      FROM surv
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < {b1} THEN 'train'
+                WHEN bucket < {b2} THEN 'val'
+                ELSE 'test' END AS split,
+           n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket % {n_ranges}
+                         ORDER BY n_tokens DESC, doc_id ASC
+                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / {budget_tokens}.0) * {n_ranges} + bucket % {n_ranges}
+                AS BIGINT) AS pack_id
+    FROM t"""
+    )
 
 
 def winnow_signature_rows(sf_dir: str, k: int = 8, w: int = 4):
@@ -719,7 +907,12 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
             near_dup_resolve_rows(sf_dir),
             [("doc_id", "VARCHAR"), ("cluster_id", "VARCHAR"), ("keep", "BOOLEAN")],
         ),
+        "dedup_resolve_longest": values_sql(
+            near_dup_resolve_longest_rows(sf_dir),
+            [("doc_id", "VARCHAR"), ("cluster_id", "VARCHAR"), ("keep", "BOOLEAN")],
+        ),
         "dedup_corpus_minhash": dedup_corpus_sql(sf_dir),
+        "text_curate_pipeline": curate_pipeline_sql(sf_dir),
         "text_winnow_fingerprint": values_sql(
             winnow_signature_rows(sf_dir),
             [("doc_id", "VARCHAR"), ("n_fp", "BIGINT"), ("fp_xor", "BIGINT")],

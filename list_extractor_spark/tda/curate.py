@@ -44,6 +44,7 @@ def curate_corpus(
     decontam_n: int = 5,
     decontam_min_hits: int = 3,
     line_to_newline: bool = False,
+    line_require_punct: bool = True,
     dedup_policy: str = "keep_min",
 ) -> DataFrame:
     """Run the full curation chain over ``documents`` (doc_id, text) against
@@ -80,7 +81,7 @@ def curate_corpus(
     # 2. line-level C4 rules: cleaned text, one doc_id exchange; drop docs
     # whose every line was boilerplate (empty cleaned text)
     cleaned = (
-        line_filter(kept)
+        line_filter(kept, require_terminal_punct=line_require_punct)
         .select("doc_id", "text")
         .filter(F.length("text") > 0)
     )

@@ -195,57 +195,135 @@ _PAIRS_SCHEMA = T.StructType(
 
 
 def cosine_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, block_col: str = "label"
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    cell_cap: int | None = 4096,
 ) -> DataFrame:
     """Embedding near-duplicate pairs, blocked on ``block_col``: one numpy
     matmul per block inside applyInPandas (Arrow batch in, Arrow batch out).
     Blocking keeps the quadratic term inside blocks; at scale block =
-    LSH bucket (hyperplane_buckets) instead of a label column."""
+    LSH bucket (hyperplane_buckets) or k-means cell (SemDeDup).
 
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    ``cell_cap`` is the oversized-block guard (the blocked-cosine twin of
+    the df_cap/bucket_cap hub guards in tda/dedup.py): a block materializes
+    as ONE pandas group, so a hot cell at web scale would OOM its task.
+    Blocks larger than ``cell_cap`` are deterministically hash-chunked
+    (xxhash64(vec_id) % n_chunks) and every chunk PAIR (i <= j) becomes its
+    own group computing intra- (i == j) or cross-chunk (i < j) similarities
+    — EXACT (every pair is covered exactly once, no recall loss, unlike
+    salting) with per-task memory bounded by cell_cap^2 and the hot cell's
+    work spread over (B/cap)^2 parallel tasks instead of one.  The total
+    work is unchanged (all-pairs within the block is the operator's
+    contract); the replicated rows are proportional to B * n_chunks, i.e.
+    exactly the join fan-out the pair count already implies.  ``None``
+    disables the guard (single group per block, the pre-r6 behavior)."""
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+        )
+
+    def _round4(a):
         import numpy as np
 
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
-            )
-        ids = pdf["vec_id"].to_numpy()
-        order = ids.argsort()
-        ids = ids[order]
-        m = np.stack(pdf["embedding"].to_numpy()[order]).astype("float64")
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        kept = sims[ia[keep], ib[keep]]
         # round half-AWAY-FROM-ZERO to match DuckDB round() / Spark F.round
         # (np.round is half-to-even: dyadic 4-decimal ties would diverge from
         # the SQL oracle data-dependently)
+        return np.copysign(np.floor(np.abs(a) * 1e4 + 0.5) / 1e4, a)
+
+    def _norm(pdf: pd.DataFrame):
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return ids, m
+
+    def _intra(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return _empty()
+        ids, m = _norm(pdf.sort_values("vec_id"))
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
         return pd.DataFrame(
             {
                 "id_a": ids[ia[keep]],
                 "id_b": ids[ib[keep]],
-                "cos_sim": np.copysign(np.floor(np.abs(kept) * 1e4 + 0.5) / 1e4, kept),
+                "cos_sim": _round4(sims[ia[keep], ib[keep]]),
             }
         )
 
+    if not cell_cap:
+        return (
+            embeddings.select("vec_id", "embedding", block_col)
+            .groupBy(block_col)
+            .applyInPandas(lambda pdf: _intra(pdf), schema=_PAIRS_SCHEMA)
+        )
+
+    def chunk_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ca, cb = key[-2], key[-1]
+        if ca == cb:
+            return _intra(pdf)
+        a, b = pdf[pdf["_chunk"] == ca], pdf[pdf["_chunk"] == cb]
+        if not len(a) or not len(b):
+            return _empty()
+        ids_a, ma = _norm(a)
+        ids_b, mb = _norm(b)
+        sims = ma @ mb.T
+        ia, ib = np.nonzero(sims >= threshold)
+        # chunks are hash-assigned, so order pair ids explicitly
+        lo = np.minimum(ids_a[ia], ids_b[ib])
+        hi = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": _round4(sims[ia, ib])}
+        )
+
+    d = embeddings.select("vec_id", "embedding", block_col)
+    # per-block sizes: map-side partial agg -> n_blocks rows, broadcast by
+    # AQE in every real blocking scheme (LSH buckets / k-means cells / label
+    # domains are all small), so the corpus side stays narrow into the ONE
+    # exchange the grouped UDF needs
+    sizes = d.groupBy(block_col).agg(F.count("*").alias("_n"))
+    nch = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(cell_cap)))
     return (
-        embeddings.select("vec_id", "embedding", block_col)
-        .groupBy(block_col)
-        .applyInPandas(block_pairs, schema=_PAIRS_SCHEMA)
+        d.join(sizes, block_col)
+        .withColumn("_chunk", F.pmod(F.xxhash64("vec_id"), nch).cast("int"))
+        .withColumn(
+            "_other", F.explode(F.sequence(F.lit(0), nch.cast("int") - 1))
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            block_col,
+            "_chunk",
+            F.least("_chunk", "_other").alias("_ca"),
+            F.greatest("_chunk", "_other").alias("_cb"),
+        )
+        .groupBy(block_col, "_ca", "_cb")
+        .applyInPandas(chunk_pairs, schema=_PAIRS_SCHEMA)
     )
 
 
 def cosine_near_dup_pairs_lsh(
-    embeddings: DataFrame, planes, threshold: float = 0.95
+    embeddings: DataFrame, planes, threshold: float = 0.95,
+    cell_cap: int | None = 4096,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked on the LSH bucket — the scale form of
     cosine_near_dup_pairs (no label column needed): hyperplane buckets bound
     the quadratic term, one numpy matmul per bucket.  Recall = pairs whose
     members share all hyperplane signs; more planes -> smaller blocks, lower
-    recall (standard LSH trade)."""
+    recall (standard LSH trade).  ``cell_cap`` guards hot buckets (exact
+    chunking, see cosine_near_dup_pairs)."""
     with_bucket = hyperplane_buckets(embeddings, planes, keep_embedding=True)
-    return cosine_near_dup_pairs(with_bucket, threshold=threshold, block_col="bucket")
+    return cosine_near_dup_pairs(
+        with_bucket, threshold=threshold, block_col="bucket", cell_cap=cell_cap
+    )
 
 
 # -- IVF (inverted-file) ANN --------------------------------------------------
@@ -382,12 +460,27 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 42):
 # -- SemDeDup (semantic dedup over embedding space) ---------------------------
 
 
+def semantic_dedup_k(n_docs: int, target_cell: int = 4096,
+                     sample: int = 4096) -> int:
+    """Corpus-size-derived cell count for SemDeDup: k = ceil(n / target_cell)
+    so the EXPECTED cell is matmul-sized, clamped to sample//4 (the Lloyd
+    quantizer needs a few sample points per cell to be meaningful).  The
+    SemDeDup paper uses k=50k at web scale (Abbas et al. 2023 §3) — at that
+    scale pass ``sample`` >= 4*k and train on the larger sample; the 4096
+    default bounds the driver collect for the contract/bench path."""
+    import math
+
+    return max(1, min(sample // 4, math.ceil(n_docs / max(1, target_cell))))
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
-    k: int = 16,
+    k: int | str = 16,
     iters: int = 5,
     sample: int = 4096,
     threshold: float = 0.95,
+    cell_cap: int | None = 4096,
+    target_cell: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
     k-means-cluster the embedding space with the existing IVF coarse
@@ -398,19 +491,31 @@ def semantic_dedup_pairs(
     join back to the corpus) -> cosine_near_dup_pairs blocked on
     centroid_id (one numpy matmul per cell) — so the quadratic term is
     bounded by the largest CELL, never the corpus: semantic dedup at 100 TB
-    without a new engine primitive.  Raise ``k`` so cells stay
-    matmul-sized (SemDeDup itself uses k=50k at web scale)."""
+    without a new engine primitive.
+
+    ``k="auto"`` derives the cell count from a corpus count (parquet
+    metadata makes this near-free): k = ceil(n / target_cell), clamped —
+    see semantic_dedup_k.  ``cell_cap`` additionally hard-bounds any HOT
+    cell's group memory via exact chunking (cosine_near_dup_pairs), so a
+    skewed quantizer cannot OOM a task regardless of k."""
+    if k == "auto":
+        k = semantic_dedup_k(embeddings.count(), target_cell, sample)
     cents = kmeans_centroids(embeddings, k=k, iters=iters, sample=sample)
     assigned = ivf_assign(embeddings, cents, keep_embedding=True)
-    return cosine_near_dup_pairs(assigned, threshold=threshold, block_col="centroid_id")
+    return cosine_near_dup_pairs(
+        assigned, threshold=threshold, block_col="centroid_id",
+        cell_cap=cell_cap,
+    )
 
 
 def semantic_dedup(
     embeddings: DataFrame,
-    k: int = 16,
+    k: int | str = 16,
     iters: int = 5,
     sample: int = 4096,
     threshold: float = 0.95,
+    cell_cap: int | None = 4096,
+    target_cell: int = 4096,
 ) -> DataFrame:
     """Full SemDeDup verdict: (doc_id, cluster_id, keep) over the semantic
     pair graph — semantic_dedup_pairs resolved with the shared
@@ -419,6 +524,7 @@ def semantic_dedup(
     from .dedup import near_dup_resolve
 
     pairs = semantic_dedup_pairs(
-        embeddings, k=k, iters=iters, sample=sample, threshold=threshold
+        embeddings, k=k, iters=iters, sample=sample, threshold=threshold,
+        cell_cap=cell_cap, target_cell=target_cell,
     ).selectExpr("id_a as doc_a", "id_b as doc_b")
     return near_dup_resolve(pairs)

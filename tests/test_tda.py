@@ -893,6 +893,60 @@ def test_near_dup_resolve_distributed_matches_unionfind_on_random_graphs(spark):
         assert got == want, f"seed={seed}"
 
 
+def test_cosine_near_dup_cell_cap_splits_mega_cell_exactly(spark):
+    """Oversized-cell guard (r5 verdict #3): one adversarial mega-cell (every
+    vector in a single block) must be hash-chunked into bounded chunk-pair
+    groups with pairs IDENTICAL to the unguarded all-pairs run — the chunking
+    is exact, not a recall trade."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(8, 16))
+    rows = []
+    for i in range(48):  # 6 near-dup families of 8 -> plenty of pairs
+        v = base[i % 8] + rng.normal(scale=0.01, size=16)
+        rows.append((i, [float(x) for x in v], 0))  # ONE block for all
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    want = sorted(
+        map(tuple, similarity.cosine_near_dup_pairs(
+            emb, threshold=0.9, cell_cap=None).collect())
+    )
+    assert len(want) > 40  # non-trivial pair set
+    capped = similarity.cosine_near_dup_pairs(emb, threshold=0.9, cell_cap=8)
+    got = sorted(map(tuple, capped.collect()))
+    assert got == want
+    # the guard actually engaged: the plan groups on the chunk-pair key
+    assert "_ca" in capped._jdf.queryExecution().executedPlan().toString()
+
+
+def test_semantic_dedup_auto_k_and_capped_cells(spark):
+    """k='auto' derives the cell count from the corpus size; the planted
+    near-identical pair still resolves to one survivor with a tiny cell_cap
+    forcing the chunked path."""
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = base.filter(F.col("vec_id") == 1).first()["embedding"]
+    near = [x * 1.0001 for x in v]
+    extra = spark.createDataFrame(
+        [(90001, v, 99), (90002, near, 99)],
+        schema=base.select("vec_id", "embedding", "label").schema,
+    )
+    emb = base.select("vec_id", "embedding", "label").unionByName(extra)
+    assert similarity.semantic_dedup_k(4_000_000) == 977
+    assert similarity.semantic_dedup_k(100, target_cell=4096) == 1
+    assert similarity.semantic_dedup_k(10**12) == 1024  # sample//4 clamp
+    verdict = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in similarity.semantic_dedup(
+            emb, k="auto", target_cell=64, threshold=0.999, cell_cap=16
+        ).collect()
+    }
+    assert verdict["90001"][0] == verdict["90002"][0]
+    kept = [d for d in ("1", "90001", "90002") if d in verdict and verdict[d][1]]
+    assert len(kept) == 1
+
+
 def test_near_dup_resolve_distributed_propagate_only_round_converges(spark):
     """Directed adversarial regression (r5 ADVICE): a round where only the
     min-label PROPAGATE step lowers a label (pointer-doubling shortcut idle)
