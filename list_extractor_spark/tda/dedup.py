@@ -15,7 +15,14 @@ F.transform (no Python in the hot path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+# Java \s (what F.split's '\s+' matches): ASCII whitespace only — python \s
+# would additionally eat unicode spaces and diverge from the JVM split
+_WS_SPLIT = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
@@ -212,12 +219,105 @@ def minhash_signatures(documents: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
+def minhash_doc_stats(
+    documents: DataFrame, k: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """Everything minhash_lsh_pairs needs about a document, in ONE narrow
+    Arrow pass — no shingle posting, no window, no distinct, no groupBy:
+
+      (doc_id, bh_0..bh_{bands-1}, sh_hash array<int> DISTINCT sorted, n_sh)
+
+    Per Arrow batch: shingles form as Python string slices, their base
+    hashes run through the VECTORIZED bit-exact Murmur3 replica
+    (tda/_mm3.py, same values as F.hash(sh)), the k permutation mins are
+    hashInt folds over the base array (duplicates can't change a min, so no
+    dedup is needed before the mins), and the band hashes are the
+    multi-int F.hash chain over each band's signature slice — all numpy.
+
+    The four exchanges of the relational form (posting window + distinct +
+    signature groupBy + sizes groupBy) collapse into zero: this pass is
+    scan-shaped and partition-parallel, which is exactly what a 10^9-doc
+    signature build wants.  Docs with < n tokens emit no row (parity with
+    the posting form, whose window yields no full shingle)."""
+    import pandas as pd
+
+    from ._mm3 import hash_int_chain_vec, hash_int_vec, murmur3_bytes_vec
+
+    rows_per_band = k // bands
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.StringType(), False)]
+        + [T.StructField(f"bh_{b}", T.IntegerType(), False) for b in range(bands)]
+        + [
+            T.StructField("sh_hash", T.ArrayType(T.IntegerType(), False), False),
+            T.StructField("n_sh", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        cols = ["doc_id", *[f"bh_{b}" for b in range(bands)], "sh_hash", "n_sh"]
+        for pdf in batches:
+            # flatten the whole batch's shingles so every numpy kernel runs
+            # ONCE over ~10^5-10^6 values (per-document arrays of a few
+            # hundred would drown in call overhead — measured 3x slower)
+            doc_ids: list = []
+            starts: list = []
+            flat: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _WS_SPLIT.split(text.strip(" ").lower())
+                if len(toks) < n:
+                    continue
+                doc_ids.append(doc_id)
+                starts.append(len(flat))
+                flat.extend(
+                    " ".join(toks[i : i + n]).encode("utf-8")
+                    for i in range(len(toks) - n + 1)
+                )
+            if not doc_ids:
+                yield pd.DataFrame(
+                    {c: [] for c in cols}
+                ).astype({f"bh_{b}": "int32" for b in range(bands)} | {"n_sh": "int32"})
+                continue
+            base = murmur3_bytes_vec(flat)
+            seg = np.array(starts, dtype=np.intp)
+            sig = np.empty((k, len(doc_ids)), dtype=np.int32)
+            for i in range(k):
+                sig[i] = np.minimum.reduceat(hash_int_vec(i, base), seg)
+            bhs = [
+                hash_int_chain_vec(
+                    [sig[b * rows_per_band + r] for r in range(rows_per_band)]
+                )
+                for b in range(bands)
+            ]
+            bounds = np.append(seg, len(flat))
+            uniq = [
+                np.unique(base[bounds[d] : bounds[d + 1]])
+                for d in range(len(doc_ids))
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    **{f"bh_{b}": bhs[b] for b in range(bands)},
+                    "sh_hash": uniq,
+                    "n_sh": np.fromiter(
+                        (len(u) for u in uniq), dtype=np.int32, count=len(uniq)
+                    ),
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInPandas(run, schema=out_schema)
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
     bucket_cap: int | None = None,
+    strategy: str = "arrow",
 ) -> DataFrame:
     """MinHash + LSH banding: candidates collide in >=1 band, then verified
     with exact Jaccard computed ONLY for candidate pairs.
@@ -231,7 +331,81 @@ def minhash_lsh_pairs(
     d^2 candidate rows, so boilerplate-heavy corpora can go quadratic inside
     one bucket.  Buckets with more than ``bucket_cap`` members are dropped
     BEFORE the self-join; a dropped pair can still surface via its other
-    bands, so the recall loss is bounded (standard LSH practice)."""
+    bands, so the recall loss is bounded (standard LSH practice).
+
+    ``strategy="arrow"`` (default; A/B'd 1.6x warm at sf0.1 — 1.59 s vs
+    2.53 s relational, and the gap widens with document count since the
+    four corpus-wide exchanges become zero): the per-document
+    stats (band hashes + distinct shingle-hash set) come from ONE narrow
+    mapInPandas pass (minhash_doc_stats) and Jaccard verification
+    intersects the two hash SETS per candidate pair — identical results to
+    the relational form provided no two DISTINCT shingles of one pair
+    collide in 32-bit murmur3 space (P ~ s^2/2^33 per document, ~1e-7 at
+    500 shingles/doc; a collision would shift that pair's Jaccard by 1 ulp
+    of 1/|union| — negligible for dedup and absent on the verified test
+    corpora).  ``strategy="relational"`` keeps the exact-string posting
+    form (shingle_posting window + signature groupBy + posting joins)."""
+    if strategy == "relational":
+        return _minhash_lsh_pairs_relational(
+            documents, k=k, bands=bands, threshold=threshold,
+            bucket_cap=bucket_cap,
+        )
+    stats = minhash_doc_stats(documents, k=k, bands=bands).localCheckpoint(
+        eager=True
+    )
+    banded = stats.select(
+        "doc_id",
+        F.stack(
+            F.lit(bands),
+            *[x for b in range(bands) for x in (F.lit(b), F.col(f"bh_{b}"))],
+        ).alias("band_id", "bh"),
+    )
+    banded = _cap_postings(banded, ["band_id", "bh"], bucket_cap)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    @F.pandas_udf("int")
+    def _common(ha: pd.Series, hb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [len(np.intersect1d(a, b, assume_unique=True)) for a, b in zip(ha, hb)],
+            dtype="int32",
+        )
+
+    side = lambda s: stats.select(  # noqa: E731
+        F.col("doc_id").alias(f"doc_{s}"),
+        F.col("sh_hash").alias(f"h_{s}"),
+        F.col("n_sh").alias(f"n_{s}"),
+    )
+    return (
+        cand.join(side("a"), "doc_a")
+        .join(side("b"), "doc_b")
+        .withColumn("common", _common("h_a", "h_b"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_lsh_pairs_relational(
+    documents: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """The pre-r6 relational formation (kept for A/B and as the
+    exact-string-set reference): posting window -> signature groupBy ->
+    banded self-join -> posting-join verification."""
     rows_per_band = k // bands
     posting = shingle_posting(documents).localCheckpoint(eager=True)
     sigs = posting.groupBy("doc_id").agg(

@@ -1,4 +1,4 @@
-"""Stage-level timing of minhash_lsh_pairs at sf0.1 (quiet host only)."""
+"""A/B timing of minhash_lsh_pairs strategies at sf0.1 (quiet host only)."""
 import json
 import sys
 import time
@@ -18,23 +18,13 @@ docs = (
 docs.count()  # warm scan
 
 out = {}
-
-t = time.time()
-posting = dedup.shingle_posting(docs)
-out["posting_window"] = [posting.count(), round(time.time() - t, 3)]
-
-t = time.time()
-pn = dedup.shingle_posting(docs, strategy="narrow")
-out["posting_narrow"] = [pn.count(), round(time.time() - t, 3)]
-
-t = time.time()
-sigs = dedup.minhash_signatures(docs)
-out["signatures"] = [sigs.count(), round(time.time() - t, 3)]
-
-for rep in range(2):
-    t = time.time()
-    pairs = dedup.minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.2,
-                                    bucket_cap=50)
-    out[f"full_pairs_{rep}"] = [pairs.count(), round(time.time() - t, 3)]
+for rep in range(3):
+    for strat in ("arrow", "relational"):
+        t = time.time()
+        n = dedup.minhash_lsh_pairs(
+            docs, k=16, bands=4, threshold=0.2, bucket_cap=50, strategy=strat
+        ).count()
+        out.setdefault(strat, []).append(round(time.time() - t, 3))
+        out[f"{strat}_rows"] = n
 
 print(json.dumps(out))

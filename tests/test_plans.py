@@ -332,6 +332,28 @@ def test_decontaminate_train_side_is_narrow_broadcast_probe(spark):
     assert plan.count("Exchange hashpartitioning") == 3, plan
 
 
+def test_minhash_doc_stats_is_shuffle_free_and_matches_relational(spark):
+    """The fused Arrow signature pass (minhash_doc_stats) must be
+    scan-shaped — ZERO exchanges — and minhash_lsh_pairs' arrow strategy
+    must produce exactly the relational strategy's pairs (the vectorized
+    murmur3 replica is bit-exact, so only a 32-bit in-document shingle
+    collision could diverge them — absent on the test corpora)."""
+    from list_extractor_spark.tda import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    plan = _plan(dedup.minhash_doc_stats(docs))
+    assert "Exchange" not in plan, plan
+    for bands in (4, 8):
+        a = sorted(map(tuple, dedup.minhash_lsh_pairs(
+            docs, k=16, bands=bands, threshold=0.2, bucket_cap=50).collect()))
+        r = sorted(map(tuple, dedup.minhash_lsh_pairs(
+            docs, k=16, bands=bands, threshold=0.2, bucket_cap=50,
+            strategy="relational").collect()))
+        assert a == r and a, bands
+
+
 def test_window_shingle_posting_partitioning_reused_downstream(spark):
     """The measured reason the window posting wins end-to-end (BENCH A/B):
     its doc_id exchange partitioning must satisfy the distinct AND the

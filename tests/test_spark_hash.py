@@ -122,3 +122,55 @@ def test_vectorized_xxh64_grams_property(spark):
     ).select(F.xxhash64("g").alias("h")).collect()
     buf = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
     assert [r["h"] for r in rows] == _xxh64_grams_ascii(buf, k).tolist()
+
+
+def test_vectorized_murmur3_matches_scalar_replica_and_spark(spark):
+    """tda/_mm3.py (the numpy murmur3 powering the fused minhash pass) must
+    be bit-exact against the scalar replica on random byte strings — all
+    tail lengths, unicode, empties, and past the long-string fallback — and
+    anchored to F.hash on the JVM directly."""
+    import random
+
+    import numpy as np
+
+    from list_extractor_spark.fixtures.spark_hash import hash_bytes, hash_int
+    from list_extractor_spark.tda._mm3 import (
+        hash_int_chain_vec,
+        hash_int_vec,
+        murmur3_bytes_vec,
+    )
+
+    rng = random.Random(3)
+    items = [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+        for _ in range(400)
+    ]
+    items += [b"", b"abc", "häuser straße".encode(),
+              "ünïcodé shingle ".encode() * 80]  # > LONG_STRING_CUTOFF
+    got = murmur3_bytes_vec(items)
+    assert list(got) == [hash_bytes(b, 42) for b in items]
+
+    base = got[:64]
+    for i in (0, 5, 15):
+        assert list(hash_int_vec(i, np.array(base))) == [
+            hash_int(i, int(b) & 0xFFFFFFFF) for b in base
+        ]
+
+    cols = [np.array(base[j * 16:(j + 1) * 16], dtype=np.int32) for j in range(4)]
+    chain = hash_int_chain_vec(cols)
+    for r in range(16):
+        h = 42
+        for j in range(4):
+            h = hash_int(int(cols[j][r]), h & 0xFFFFFFFF)
+        assert chain[r] == h
+
+    # JVM anchor: F.hash(sh, lit(i)) == hash_int_vec(i, murmur3_bytes_vec)
+    from pyspark.sql import functions as F
+
+    shingles = ["one two three", "vier fünf sechs", "", "x"]
+    rows = spark.createDataFrame([(s,) for s in shingles], "sh string").select(
+        *[F.hash("sh", F.lit(i)).alias(f"h{i}") for i in (0, 7)]
+    ).collect()
+    b = murmur3_bytes_vec([s.encode("utf-8") for s in shingles])
+    for col, i in enumerate((0, 7)):
+        assert [r[f"h{i}"] for r in rows] == list(hash_int_vec(i, b))
