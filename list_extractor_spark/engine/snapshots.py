@@ -1,0 +1,211 @@
+"""Versioned graph table: an Iceberg-shaped snapshot log over parquet.
+
+The materialize stage's production target is an Iceberg table (north rule);
+this module reproduces the three Iceberg properties the pipeline actually
+depends on, over plain parquet + JSON manifests — no table-format library in
+the container:
+
+  * ATOMIC COMMITS — data files land under a unique ``data/commit-*/`` dir,
+    the manifest is written to a temp name and renamed, and the ``current``
+    pointer flips last (rename is atomic on POSIX).  A reader never sees a
+    half-written snapshot; a crashed writer leaves only unreferenced files.
+  * TIME TRAVEL — every snapshot's manifest lists its full file set, so
+    ``read_graph_at(..., snapshot_id=N)`` reconstructs any historical state
+    and ``rollback`` is a pointer flip, not a data rewrite.
+  * MANIFEST-LEVEL PRUNING — manifests carry per-file partition values
+    (pred_bucket) and row counts, so a bucket-filtered read prunes FILES
+    before Spark ever lists or opens them — the scan-planning benefit that
+    makes metadata tables matter at 10^5+ files.
+
+Single-writer by design (the pipeline materialize stage is one job); the
+commit protocol makes concurrent READERS safe, not concurrent writers —
+documented, same stance as Hive-style tables without a lock service.
+
+Reference parity: the reference appends one Turtle file per run
+(listExtractor.py:149-154); append snapshots are the scalable analog of its
+run-per-file accumulation, with the run history queryable instead of
+implicit in filenames.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_BUCKETS = 16
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _current_snapshot_id(path: str) -> int | None:
+    cur = os.path.join(_meta_dir(path), "current")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return int(f.read().strip())
+
+
+def _load_manifest(path: str, snapshot_id: int) -> dict:
+    with open(os.path.join(_meta_dir(path), f"snap-{snapshot_id}.json")) as f:
+        return json.load(f)
+
+
+def write_graph_snapshot(
+    triples: DataFrame, path: str, mode: str = "append"
+) -> int:
+    """Commit ``triples`` as a new snapshot of the versioned graph table at
+    ``path``; returns the new snapshot id.
+
+    ``mode="append"`` adds this batch's files to the previous snapshot's
+    file set (incremental materialize — the common case for per-run
+    accumulation); ``mode="overwrite"`` starts the file set fresh (full
+    rebuild) while leaving every prior snapshot readable until expired."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    spark = triples.sparkSession
+    commit = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", f"commit-{commit}")
+    out = triples.withColumn("pred_bucket", F.pmod(F.hash("pred"), F.lit(N_BUCKETS)))
+    out.write.mode("error").partitionBy("pred_bucket").parquet(data_dir)
+
+    # per-file stats from what actually committed, ONE metadata-only job
+    # (grouping by input_file_name — a count-per-file driver loop would be
+    # one Spark job per file, unusable past a few hundred files)
+    stats = (
+        spark.read.parquet(data_dir)
+        .groupBy("pred_bucket", F.input_file_name().alias("f"))
+        .count()
+        .collect()
+    )
+    import urllib.parse
+
+    files = sorted(
+        (
+            {
+                "path": urllib.parse.unquote(r["f"].removeprefix("file:")),
+                "pred_bucket": r["pred_bucket"],
+                "n_rows": r["count"],
+            }
+            for r in stats
+        ),
+        key=lambda d: d["path"],
+    )
+
+    parent = _current_snapshot_id(path)
+    carried = []
+    if mode == "append" and parent is not None:
+        carried = _load_manifest(path, parent)["files"]
+    snap_id = (parent or 0) + 1
+    manifest = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "ts": time.time(),
+        "operation": mode,
+        "files": carried + files,
+        "total_rows": sum(f["n_rows"] for f in carried + files),
+    }
+    meta = _meta_dir(path)
+    os.makedirs(meta, exist_ok=True)
+    tmp = os.path.join(meta, f".snap-{snap_id}.json.{commit}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(meta, f"snap-{snap_id}.json"))
+    tmp = os.path.join(meta, f".current.{commit}")
+    with open(tmp, "w") as f:
+        f.write(str(snap_id))
+    os.rename(tmp, os.path.join(meta, "current"))  # the commit point
+    return snap_id
+
+
+def read_graph_at(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    pred_buckets: list[int] | None = None,
+) -> DataFrame:
+    """Read the table as of ``snapshot_id`` (default: current).
+
+    ``pred_buckets`` prunes at the MANIFEST level: only matching files are
+    handed to the reader — at a million files this is the difference
+    between planning from a JSON scan and listing the whole table."""
+    snap = snapshot_id if snapshot_id is not None else _current_snapshot_id(path)
+    if snap is None:
+        raise FileNotFoundError(f"no current snapshot at {path}")
+    manifest = _load_manifest(path, snap)
+    files = manifest["files"]
+    if pred_buckets is not None:
+        want = set(pred_buckets)
+        files = [f for f in files if f["pred_bucket"] in want]
+    if not files:
+        from .schemas import TRIPLES_SCHEMA
+
+        return spark.createDataFrame([], TRIPLES_SCHEMA)
+    return spark.read.parquet(*[f["path"] for f in files])
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """The snapshot log, oldest first: (snapshot_id, parent_id, operation,
+    ts, total_rows, n_files) — the reference's run-accumulation made
+    queryable."""
+    meta = _meta_dir(path)
+    out = []
+    for fn in sorted(os.listdir(meta)):
+        if fn.startswith("snap-") and fn.endswith(".json"):
+            m = json.load(open(os.path.join(meta, fn)))
+            out.append(
+                {
+                    "snapshot_id": m["snapshot_id"],
+                    "parent_id": m["parent_id"],
+                    "operation": m["operation"],
+                    "ts": m["ts"],
+                    "total_rows": m["total_rows"],
+                    "n_files": len(m["files"]),
+                }
+            )
+    return sorted(out, key=lambda m: m["snapshot_id"])
+
+
+def rollback(path: str, snapshot_id: int) -> None:
+    """Point ``current`` at an earlier snapshot (pointer flip, no data
+    movement; later snapshots stay readable by explicit id until expired)."""
+    _load_manifest(path, snapshot_id)  # existence check
+    meta = _meta_dir(path)
+    tmp = os.path.join(meta, f".current.rb{snapshot_id}")
+    with open(tmp, "w") as f:
+        f.write(str(snapshot_id))
+    os.rename(tmp, os.path.join(meta, "current"))
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> list[str]:
+    """Drop manifests older than the last ``keep_last`` snapshots and delete
+    data files no surviving manifest references; returns deleted paths.
+    Never touches the current snapshot's lineage (current and its ancestors
+    within keep_last)."""
+    hist = snapshot_history(path)
+    if len(hist) <= keep_last:
+        return []
+    keep = {m["snapshot_id"] for m in hist[-keep_last:]}
+    cur = _current_snapshot_id(path)
+    if cur is not None:
+        keep.add(cur)
+    live: set = set()
+    for sid in keep:
+        live.update(f["path"] for f in _load_manifest(path, sid)["files"])
+    deleted = []
+    meta = _meta_dir(path)
+    for m in hist:
+        sid = m["snapshot_id"]
+        if sid in keep:
+            continue
+        for f in _load_manifest(path, sid)["files"]:
+            if f["path"] not in live and os.path.exists(f["path"]):
+                os.remove(f["path"])
+                deleted.append(f["path"])
+        os.remove(os.path.join(meta, f"snap-{sid}.json"))
+    return deleted

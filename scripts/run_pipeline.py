@@ -53,6 +53,12 @@ def main():
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument("--turtle", default=None, help="also write a .ttl parity file")
     ap.add_argument("--demo", action="store_true", help="use the synthetic fixture corpus")
+    ap.add_argument(
+        "--versioned", choices=["append", "overwrite"], default=None,
+        help="commit to the snapshot-log table at --output instead of a "
+             "plain overwrite (engine/snapshots.py: atomic commits, time "
+             "travel, manifest pruning)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("list_extractor_spark").getOrCreate()
@@ -84,14 +90,28 @@ def main():
         documents, mention_index, sameas, redirects,
         canonicalize=not args.no_canonicalize,
     )
-    write_graph(triples, args.output)
-    n = spark.read.parquet(args.output).count()
+    extra = {}
+    if args.versioned:
+        from list_extractor_spark.engine.snapshots import (
+            read_graph_at,
+            write_graph_snapshot,
+        )
+
+        snap = write_graph_snapshot(triples, args.output, mode=args.versioned)
+        written = read_graph_at(spark, args.output)
+        n = written.count()
+        extra["snapshot_id"] = snap
+    else:
+        write_graph(triples, args.output)
+        written = spark.read.parquet(args.output)
+        n = written.count()
     if args.turtle:
-        write_turtle(spark.read.parquet(args.output), args.turtle)
+        write_turtle(written, args.turtle)
     print(json.dumps({
         "triples": n,
         "sec": round(time.time() - t0, 2),
         "lineage": pipe.lineage,
+        **extra,
     }))
 
 

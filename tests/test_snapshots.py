@@ -1,0 +1,105 @@
+"""Versioned graph table (engine/snapshots.py): atomic snapshot commits,
+time travel, rollback, manifest-level pruning, expiry."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from list_extractor_spark.engine.snapshots import (
+    N_BUCKETS,
+    expire_snapshots,
+    read_graph_at,
+    rollback,
+    snapshot_history,
+    write_graph_snapshot,
+)
+
+
+def _triples(spark, tag, n=20):
+    return spark.range(n).select(
+        F.concat(F.lit(f"http://dbpedia.org/resource/{tag}_"), F.col("id")).alias("subj"),
+        F.concat(F.lit("http://dbpedia.org/ontology/p"), F.col("id") % 5).alias("pred"),
+        F.concat(F.lit(f"v_{tag}_"), F.col("id")).alias("obj"),
+        F.lit(None).cast("string").alias("obj_dt"),
+    )
+
+
+def test_append_snapshots_time_travel_and_rollback(spark, tmp_path):
+    path = str(tmp_path / "graph")
+    s1 = write_graph_snapshot(_triples(spark, "a"), path)
+    s2 = write_graph_snapshot(_triples(spark, "b", n=10), path)
+    assert (s1, s2) == (1, 2)
+    assert read_graph_at(spark, path).count() == 30  # current = both commits
+    assert read_graph_at(spark, path, snapshot_id=1).count() == 20  # time travel
+    hist = snapshot_history(path)
+    assert [h["snapshot_id"] for h in hist] == [1, 2]
+    assert hist[1]["parent_id"] == 1 and hist[1]["total_rows"] == 30
+    rollback(path, 1)
+    assert read_graph_at(spark, path).count() == 20
+    assert read_graph_at(spark, path, snapshot_id=2).count() == 30  # still there
+
+
+def test_overwrite_keeps_history_readable(spark, tmp_path):
+    path = str(tmp_path / "graph")
+    write_graph_snapshot(_triples(spark, "a"), path)
+    write_graph_snapshot(_triples(spark, "b", n=7), path, mode="overwrite")
+    assert read_graph_at(spark, path).count() == 7
+    assert read_graph_at(spark, path, snapshot_id=1).count() == 20
+
+
+def test_manifest_level_bucket_pruning(spark, tmp_path):
+    """A bucket-filtered read must hand Spark ONLY the matching files —
+    pruning happens on manifest JSON, before any file listing."""
+    path = str(tmp_path / "graph")
+    write_graph_snapshot(_triples(spark, "a", n=200), path)
+    full = read_graph_at(spark, path)
+    some_bucket = _bucket_of(spark, "http://dbpedia.org/ontology/p0")
+    pruned = read_graph_at(spark, path, pred_buckets=[some_bucket])
+    assert 0 < pruned.count() < full.count()
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {r["pred"] for r in pruned.collect()}
+    want = {
+        r["pred"]
+        for r in full.collect()
+        if _bucket_of(spark, r["pred"]) == some_bucket
+    }
+    assert got == want
+
+
+def _bucket_of(spark, pred):
+    return spark.range(1).select(
+        F.pmod(F.hash(F.lit(pred)), F.lit(N_BUCKETS)).alias("b")
+    ).first()["b"]
+
+
+def test_expire_snapshots_removes_only_unreferenced_files(spark, tmp_path):
+    path = str(tmp_path / "graph")
+    write_graph_snapshot(_triples(spark, "a"), path)
+    write_graph_snapshot(_triples(spark, "b"), path, mode="overwrite")
+    write_graph_snapshot(_triples(spark, "c"), path)
+    deleted = expire_snapshots(path, keep_last=2)
+    # snapshot 1's files are referenced by NO surviving manifest (2 was an
+    # overwrite), so they are deleted; 2 and 3 stay fully readable
+    assert deleted and all("commit-" in p for p in deleted)
+    assert read_graph_at(spark, path, snapshot_id=2).count() == 20
+    assert read_graph_at(spark, path, snapshot_id=3).count() == 40
+    with pytest.raises(FileNotFoundError):
+        read_graph_at(spark, path, snapshot_id=1)
+    hist = snapshot_history(path)
+    assert [h["snapshot_id"] for h in hist] == [2, 3]
+
+
+def test_commit_is_atomic_under_crash_simulation(spark, tmp_path):
+    """A manifest that never got renamed (simulated crash between data write
+    and commit) must be invisible: current still points at the last good
+    snapshot and history shows no partial entry."""
+    path = str(tmp_path / "graph")
+    write_graph_snapshot(_triples(spark, "a"), path)
+    # simulate a writer that crashed after staging its manifest temp file
+    meta = os.path.join(path, "metadata")
+    with open(os.path.join(meta, ".snap-2.json.deadbeef"), "w") as f:
+        json.dump({"snapshot_id": 2, "files": []}, f)
+    assert [h["snapshot_id"] for h in snapshot_history(path)] == [1]
+    assert read_graph_at(spark, path).count() == 20
