@@ -287,3 +287,27 @@ def test_stream_rollup_refresh_converges_with_late_data(spark, tmp_path):
     assert sorted(d for d in os.listdir(raw) if d.startswith("batch_id=")) == [
         "batch_id=0", "batch_id=1", "batch_id=2",
     ]
+
+
+def test_stream_quality_filter_equals_batch(spark, tmp_path):
+    """The streaming curation filter (streaming/stream_curate.py) must emit
+    exactly the batch quality_filter verdicts: the stage is a stateless
+    narrow projection, so streaming it is plan reuse, not a reimplementation."""
+    from list_extractor_spark.streaming.stream_curate import (
+        stream_document_texts,
+        stream_quality_filter,
+    )
+    from list_extractor_spark.tda.textstats import quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = stream_quality_filter(stream_document_texts(spark, src), out, ck)
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, quality_filter(docs.select("doc_id", "text")).collect()))
+    assert got == want and got
