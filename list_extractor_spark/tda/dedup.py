@@ -256,7 +256,6 @@ def minhash_doc_stats(
     def run(batches):
         import numpy as np
 
-        cols = ["doc_id", *[f"bh_{b}" for b in range(bands)], "sh_hash", "n_sh"]
         for pdf in batches:
             # flatten the whole batch's shingles so every numpy kernel runs
             # ONCE over ~10^5-10^6 values (per-document arrays of a few
@@ -275,9 +274,8 @@ def minhash_doc_stats(
                     for i in range(len(toks) - n + 1)
                 )
             if not doc_ids:
-                yield pd.DataFrame(
-                    {c: [] for c in cols}
-                ).astype({f"bh_{b}": "int32" for b in range(bands)} | {"n_sh": "int32"})
+                # yield nothing: an empty frame's sh_hash column would carry
+                # a float64 dtype Arrow cannot convert to list<int32>
                 continue
             base = murmur3_bytes_vec(flat)
             seg = np.array(starts, dtype=np.intp)

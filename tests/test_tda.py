@@ -893,6 +893,36 @@ def test_near_dup_resolve_distributed_matches_unionfind_on_random_graphs(spark):
         assert got == want, f"seed={seed}"
 
 
+def test_minhash_arrow_edge_docs_match_relational(spark):
+    """Arrow and relational minhash strategies must agree on the awkward
+    inputs: unicode, sub-n-token docs (excluded), empty text, tab/newline
+    whitespace, and shingles past the vectorizer's long-string fallback."""
+    long_tok = "x" * 600  # one shingle > LONG_STRING_CUTOFF
+    rows = [
+        ("u1", "häuser straße münchen die straße ist lang und die häuser alt"),
+        ("u2", "häuser straße münchen die straße ist lang und die häuser neu"),
+        ("tiny", "two tokens"),
+        ("empty", ""),
+        ("ws", "  a\tb\nc  d\x0b e f  g h i  "),
+        ("long1", f"start {long_tok} middle tail words here now ok"),
+        ("long2", f"start {long_tok} middle tail words here now no"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for bands in (4, 8):
+        a = sorted(map(tuple, dedup.minhash_lsh_pairs(
+            docs, k=16, bands=bands, threshold=0.1).collect()))
+        r = sorted(map(tuple, dedup.minhash_lsh_pairs(
+            docs, k=16, bands=bands, threshold=0.1,
+            strategy="relational").collect()))
+        assert a == r, (bands, a, r)
+    assert any(p[0] == "u1" and p[1] == "u2" for p in a)  # unicode pair found
+    stats_ids = {
+        r["doc_id"] for r in dedup.minhash_doc_stats(docs).collect()
+    }
+    assert "tiny" not in stats_ids and "empty" not in stats_ids
+    assert {"u1", "u2", "ws", "long1", "long2"} <= stats_ids
+
+
 def test_cosine_near_dup_cell_cap_splits_mega_cell_exactly(spark):
     """Oversized-cell guard (r5 verdict #3): one adversarial mega-cell (every
     vector in a single block) must be hash-chunked into bounded chunk-pair
