@@ -76,32 +76,43 @@ def write_graph_snapshot(
 
     # per-file stats from what actually committed, ONE metadata-only job
     # (grouping by input_file_name — a count-per-file driver loop would be
-    # one Spark job per file, unusable past a few hundred files)
-    stats = (
-        spark.read.parquet(data_dir)
-        .groupBy("pred_bucket", F.input_file_name().alias("f"))
-        .count()
-        .collect()
-    )
+    # one Spark job per file, unusable past a few hundred files).  A
+    # zero-row write commits only _SUCCESS (no parquet footers), so probe
+    # for data files first instead of letting the schema-less read throw.
+    import glob as _glob
     import urllib.parse
 
-    files = sorted(
-        (
-            {
-                "path": urllib.parse.unquote(r["f"].removeprefix("file:")),
-                "pred_bucket": r["pred_bucket"],
-                "n_rows": r["count"],
-            }
-            for r in stats
-        ),
-        key=lambda d: d["path"],
-    )
+    has_files = bool(_glob.glob(os.path.join(data_dir, "pred_bucket=*", "*.parquet")))
+    if has_files:
+        stats = (
+            spark.read.parquet(data_dir)
+            .groupBy("pred_bucket", F.input_file_name().alias("f"))
+            .count()
+            .collect()
+        )
+        files = sorted(
+            (
+                {
+                    "path": urllib.parse.unquote(r["f"].removeprefix("file:")),
+                    "pred_bucket": r["pred_bucket"],
+                    "n_rows": r["count"],
+                }
+                for r in stats
+            ),
+            key=lambda d: d["path"],
+        )
+    else:
+        files = []  # empty commit is a legal snapshot (e.g. a filtered run)
 
     parent = _current_snapshot_id(path)
     carried = []
     if mode == "append" and parent is not None:
         carried = _load_manifest(path, parent)["files"]
-    snap_id = (parent or 0) + 1
+    # ids must be globally fresh, not parent+1: after a rollback the current
+    # pointer is an OLD snapshot, and parent+1 would silently clobber an
+    # existing manifest (breaking 'later snapshots stay readable')
+    existing = [m["snapshot_id"] for m in snapshot_history(path)] or [0]
+    snap_id = max(existing) + 1
     manifest = {
         "snapshot_id": snap_id,
         "parent_id": parent,
@@ -154,6 +165,8 @@ def snapshot_history(path: str) -> list[dict]:
     ts, total_rows, n_files) — the reference's run-accumulation made
     queryable."""
     meta = _meta_dir(path)
+    if not os.path.isdir(meta):
+        return []
     out = []
     for fn in sorted(os.listdir(meta)):
         if fn.startswith("snap-") and fn.endswith(".json"):

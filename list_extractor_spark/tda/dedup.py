@@ -239,10 +239,10 @@ def minhash_doc_stats(
     scan-shaped and partition-parallel, which is exactly what a 10^9-doc
     signature build wants.  Docs with < n tokens emit no row (parity with
     the posting form, whose window yields no full shingle)."""
-    import pandas as pd
-
     from ._mm3 import hash_int_chain_vec, hash_int_vec, murmur3_bytes_vec
 
+    if bands < 1 or k < bands or k % bands:
+        raise ValueError(f"k must be a positive multiple of bands, got k={k} bands={bands}")
     rows_per_band = k // bands
     out_schema = T.StructType(
         [T.StructField("doc_id", T.StringType(), False)]

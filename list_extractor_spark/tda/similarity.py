@@ -285,14 +285,26 @@ def cosine_near_dup_pairs(
         )
 
     d = embeddings.select("vec_id", "embedding", block_col)
+    # materialize the block assignment ONCE: it is referenced by the sizes
+    # aggregate AND the join probe side below, and upstream it is usually an
+    # expensive per-row numpy pass (ivf_assign / hyperplane_buckets) that
+    # would otherwise run twice per action — same pattern as
+    # minhash_lsh_pairs' stats checkpoint
+    d = d.localCheckpoint(eager=True)
     # per-block sizes: map-side partial agg -> n_blocks rows, broadcast by
     # AQE in every real blocking scheme (LSH buckets / k-means cells / label
     # domains are all small), so the corpus side stays narrow into the ONE
-    # exchange the grouped UDF needs
+    # exchange the grouped UDF needs.  NULL-SAFE join: groupBy treats a NULL
+    # block as a real group (the uncapped path pairs those rows), so the
+    # sizes join must not silently drop them
     sizes = d.groupBy(block_col).agg(F.count("*").alias("_n"))
     nch = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(cell_cap)))
     return (
-        d.join(sizes, block_col)
+        d.join(
+            sizes.withColumnRenamed(block_col, "_blk"),
+            F.col(block_col).eqNullSafe(F.col("_blk")),
+        )
+        .drop("_blk")
         .withColumn("_chunk", F.pmod(F.xxhash64("vec_id"), nch).cast("int"))
         .withColumn(
             "_other", F.explode(F.sequence(F.lit(0), nch.cast("int") - 1))

@@ -91,6 +91,32 @@ def test_expire_snapshots_removes_only_unreferenced_files(spark, tmp_path):
     assert [h["snapshot_id"] for h in hist] == [2, 3]
 
 
+def test_commit_after_rollback_gets_fresh_id(spark, tmp_path):
+    """A commit made after rollback() must take a NEW snapshot id, not
+    parent+1 — reusing an id would clobber the rolled-past snapshot's
+    manifest and orphan its files (r6 review finding, reproduced)."""
+    path = str(tmp_path / "graph")
+    write_graph_snapshot(_triples(spark, "a"), path)
+    write_graph_snapshot(_triples(spark, "b", n=12), path)
+    rollback(path, 1)
+    s3 = write_graph_snapshot(_triples(spark, "c", n=5), path)
+    assert s3 == 3
+    assert read_graph_at(spark, path, snapshot_id=2).count() == 32  # intact
+    assert read_graph_at(spark, path, snapshot_id=3).count() == 25  # 20 + 5
+    assert [h["snapshot_id"] for h in snapshot_history(path)] == [1, 2, 3]
+
+
+def test_empty_commit_is_a_legal_snapshot(spark, tmp_path):
+    """Committing a zero-row DataFrame must produce a valid (empty-file-set)
+    snapshot, not crash on the schema-less stats read."""
+    path = str(tmp_path / "graph")
+    empty = _triples(spark, "a").filter("1 = 0")
+    assert write_graph_snapshot(empty, path) == 1
+    assert read_graph_at(spark, path).count() == 0
+    write_graph_snapshot(_triples(spark, "b", n=4), path)
+    assert read_graph_at(spark, path).count() == 4
+
+
 def test_commit_is_atomic_under_crash_simulation(spark, tmp_path):
     """A manifest that never got renamed (simulated crash between data write
     and commit) must be invisible: current still points at the last good

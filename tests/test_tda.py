@@ -951,6 +951,28 @@ def test_cosine_near_dup_cell_cap_splits_mega_cell_exactly(spark):
     assert "_ca" in capped._jdf.queryExecution().executedPlan().toString()
 
 
+def test_cosine_near_dup_null_block_rows_still_pair(spark):
+    """Rows whose block column is NULL form a real group (the uncapped
+    groupBy semantics); the cell_cap path's sizes join must be null-safe,
+    not silently drop them (r6 review finding)."""
+    v = [1.0, 0.0, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(1, v, None), (2, [x * 1.0001 for x in v], None), (3, v, 7)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    for cap in (None, 2):
+        pairs = sorted(map(tuple, similarity.cosine_near_dup_pairs(
+            emb, threshold=0.99, cell_cap=cap).collect()))
+        assert [(p[0], p[1]) for p in pairs] == [(1, 2)], (cap, pairs)
+
+
+def test_minhash_rejects_bad_band_config(spark):
+    docs = spark.createDataFrame([("a", "x y z w")], "doc_id string, text string")
+    for k, bands in ((4, 8), (16, 5), (16, 0)):
+        with pytest.raises(ValueError):
+            dedup.minhash_lsh_pairs(docs, k=k, bands=bands).collect()
+
+
 def test_semantic_dedup_auto_k_and_capped_cells(spark):
     """k='auto' derives the cell count from the corpus size; the planted
     near-identical pair still resolves to one survivor with a tiny cell_cap
