@@ -93,7 +93,12 @@ def write_graph_snapshot(
         files = sorted(
             (
                 {
-                    "path": urllib.parse.unquote(r["f"].removeprefix("file:")),
+                    # input_file_name is a file: URI — strip scheme, unquote,
+                    # and normpath (file:///x would otherwise store ///x,
+                    # breaking path-identity checks like verify_table)
+                    "path": os.path.normpath(
+                        urllib.parse.unquote(r["f"].removeprefix("file:"))
+                    ),
                     "pred_bucket": r["pred_bucket"],
                     "n_rows": r["count"],
                 }
@@ -158,6 +163,64 @@ def read_graph_at(
 
         return spark.createDataFrame([], TRIPLES_SCHEMA)
     return spark.read.parquet(*[f["path"] for f in files])
+
+
+def pred_buckets_for(preds) -> list[int]:
+    """Manifest-pruning buckets for specific PREDICATES, computed driver-side
+    with the bit-exact murmur3 replica (fixtures/spark_hash.py — the same
+    value F.hash produces), so a predicate-scoped read never touches Spark
+    before the file list is already pruned:
+
+        read_graph_at(spark, path, pred_buckets=pred_buckets_for([p1, p2]))
+    """
+    from ..fixtures.spark_hash import hash_str
+
+    return sorted({hash_str(p) % N_BUCKETS for p in preds})
+
+
+def verify_table(path: str) -> dict:
+    """Consistency audit of the snapshot table: every manifest's files must
+    exist with matching bucket dirs, ids must be unique/contiguous-free of
+    duplicates, and data files referenced by no manifest are reported as
+    orphans (a crashed writer's leftovers — expected, reclaimable).
+    Returns {missing_files, orphan_files, bad_manifests}; an intact table
+    has empty missing_files and bad_manifests."""
+    hist = snapshot_history(path)
+    missing, bad = [], []
+    live: set = set()
+    seen_ids: set = set()
+    for m in hist:
+        sid = m["snapshot_id"]
+        if sid in seen_ids:
+            bad.append(f"duplicate snapshot id {sid}")
+        seen_ids.add(sid)
+        man = _load_manifest(path, sid)
+        if man["total_rows"] != sum(f["n_rows"] for f in man["files"]):
+            bad.append(f"snap-{sid}: total_rows != sum(files)")
+        for f in man["files"]:
+            live.add(f["path"])
+            if not os.path.exists(f["path"]):
+                missing.append(f"snap-{sid}: {f['path']}")
+            elif f"pred_bucket={f['pred_bucket']}" not in f["path"]:
+                bad.append(f"snap-{sid}: bucket mismatch {f['path']}")
+    orphans = []
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for commit in os.listdir(data_root):
+            cdir = os.path.join(data_root, commit)
+            for bucket_dir in os.listdir(cdir):
+                bdir = os.path.join(cdir, bucket_dir)
+                if not os.path.isdir(bdir):
+                    continue
+                for fn in os.listdir(bdir):
+                    fp = os.path.join(bdir, fn)
+                    if fn.endswith(".parquet") and fp not in live:
+                        orphans.append(fp)
+    return {
+        "missing_files": sorted(missing),
+        "orphan_files": sorted(orphans),
+        "bad_manifests": sorted(bad),
+    }
 
 
 def snapshot_history(path: str) -> list[dict]:

@@ -10,9 +10,11 @@ from pyspark.sql import functions as F
 from list_extractor_spark.engine.snapshots import (
     N_BUCKETS,
     expire_snapshots,
+    pred_buckets_for,
     read_graph_at,
     rollback,
     snapshot_history,
+    verify_table,
     write_graph_snapshot,
 )
 
@@ -89,6 +91,42 @@ def test_expire_snapshots_removes_only_unreferenced_files(spark, tmp_path):
         read_graph_at(spark, path, snapshot_id=1)
     hist = snapshot_history(path)
     assert [h["snapshot_id"] for h in hist] == [2, 3]
+
+
+def test_predicate_scoped_read_via_replica_buckets(spark, tmp_path):
+    """pred_buckets_for computes F.hash-parity buckets driver-side, so a
+    predicate-scoped read prunes files from the manifest without a Spark
+    job — and returns exactly the rows a full-scan filter would."""
+    path = str(tmp_path / "graph")
+    write_graph_snapshot(_triples(spark, "a", n=120), path)
+    pred = "http://dbpedia.org/ontology/p2"
+    buckets = pred_buckets_for([pred])
+    assert buckets == [_bucket_of(spark, pred)]
+    got = read_graph_at(spark, path, pred_buckets=buckets).filter(
+        F.col("pred") == pred
+    )
+    want = read_graph_at(spark, path).filter(F.col("pred") == pred)
+    assert got.count() == want.count() > 0
+
+
+def test_verify_table_reports_missing_and_orphans(spark, tmp_path):
+    path = str(tmp_path / "graph")
+    write_graph_snapshot(_triples(spark, "a"), path)
+    write_graph_snapshot(_triples(spark, "b"), path)
+    rep = verify_table(path)
+    assert rep == {"missing_files": [], "orphan_files": [], "bad_manifests": []}
+    # orphan: a data file no manifest references (crashed-writer leftover)
+    import glob
+
+    some = glob.glob(os.path.join(path, "data", "commit-*", "pred_bucket=*",
+                                  "*.parquet"))[0]
+    orphan = os.path.join(os.path.dirname(some), "part-junk.parquet")
+    open(orphan, "wb").write(b"x")
+    # missing: delete a referenced file
+    os.remove(some)
+    rep = verify_table(path)
+    assert any(some in m for m in rep["missing_files"])
+    assert rep["orphan_files"] == [orphan]
 
 
 def test_commit_after_rollback_gets_fresh_id(spark, tmp_path):
