@@ -999,6 +999,25 @@ def test_semantic_dedup_auto_k_and_capped_cells(spark):
     assert len(kept) == 1
 
 
+def test_near_dup_resolve_unions_multiple_evidence_sources(spark):
+    """near_dup_resolve accepts ANY (doc_a, doc_b) frame, so multi-evidence
+    dedup is plain composition: union the minhash, simhash and semantic
+    pair frames and resolve ONCE — clusters merge across evidence types
+    (a <-> b from minhash and b <-> c from simhash put a, b, c in one
+    cluster with one survivor)."""
+    mh = spark.createDataFrame([("a", "b")], "doc_a string, doc_b string")
+    sh = spark.createDataFrame([("b", "c")], "doc_a string, doc_b string")
+    sem = spark.createDataFrame([("d", "e")], "doc_a string, doc_b string")
+    verdict = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup.near_dup_resolve(
+            mh.unionByName(sh).unionByName(sem)
+        ).collect()
+    }
+    assert {verdict[x][0] for x in "abc"} == {"a"}
+    assert [verdict[x][1] for x in "abcde"] == [True, False, False, True, False]
+
+
 def test_near_dup_resolve_distributed_propagate_only_round_converges(spark):
     """Directed adversarial regression (r5 ADVICE): a round where only the
     min-label PROPAGATE step lowers a label (pointer-doubling shortcut idle)
