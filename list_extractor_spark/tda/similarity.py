@@ -264,7 +264,8 @@ def cosine_near_dup_pairs(
             .applyInPandas(lambda pdf: _intra(pdf), schema=_PAIRS_SCHEMA)
         )
 
-    def chunk_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def chunk_pairs(key, pdf):  # no hints: Spark infers the grouped-map
+        # eval type from the arg count (string hints warn unresolvable here)
         import numpy as np
 
         ca, cb = key[-2], key[-1]
