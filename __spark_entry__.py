@@ -160,10 +160,16 @@ def _q_broadcast_join(spark, sf_dir):
 
 
 def _q_anti_join(spark, sf_dir):
+    # anti-join against the URGENT slice: every sf customer has SOME order,
+    # so the unfiltered form graded an empty result against an empty oracle
+    # (proving nothing — the r5 verdict's sim_near_dup lesson applied here);
+    # this form returns 203 rows at sf0.01
     cust = _load(spark, sf_dir, "customer")
-    orders = _load(spark, sf_dir, "orders")
+    urgent = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -1157,7 +1163,9 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q_anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
         """,
         "q_outer_coalesce": """
             SELECT s_suppkey, coalesce(n_name, '(unknown)') AS nation_name
