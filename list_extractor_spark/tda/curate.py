@@ -78,10 +78,15 @@ def curate_corpus(
         .select("doc_id", "text")
     )
 
-    # 2. line-level C4 rules: cleaned text, one doc_id exchange; drop docs
-    # whose every line was boilerplate (empty cleaned text)
+    # 2. line-level C4 rules: the narrow per-document Arrow form — the
+    # whole filter prefix is now exchange-FREE (the jvm form's explode +
+    # groupBy shipped one row per line through a corpus shuffle purely to
+    # rejoin co-located lines; measured the composite's largest stage at
+    # 400k docs).  Drop docs whose every line was boilerplate.
     cleaned = (
-        line_filter(kept, require_terminal_punct=line_require_punct)
+        line_filter(
+            kept, require_terminal_punct=line_require_punct, strategy="arrow"
+        )
         .select("doc_id", "text")
         .filter(F.length("text") > 0)
     )
