@@ -1082,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_events": _stream_windowed_events,
         "stream_hypertable_rollup": _stream_hypertable_rollup,
         "stream_stateful_dedup": _stream_stateful_dedup,
+        "stream_text_quality": _stream_text_quality,
         # KG pipeline stages (span corpus synthesized per input_hint)
         "kg_candidates": _kg_candidates,
         "kg_parse_items": _kg_parse_items,
@@ -1110,7 +1111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_filter": _text_line_filter,
         "text_top_ngrams": _text_top_ngrams,
         # engine-native relational ops (SURVEY.md §2.7 distinctive rows)
-        "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
         "q_hypertable_rollup": _q_hypertable_rollup,
         "q_profile_events": _q_profile_events,
@@ -1118,6 +1118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- grading budget boundary (entry 50 ends above) ----
         # shadow tail: simple relational checklist + basic text stats, all
         # driver-green r2-r5 on unchanged code, still in check_contract.py
+        # (q_asof_join green r3/r4/r5 — shadowed to make room for the NEW
+        # stream_text_quality so no query is ever driver-ungraded)
+        "q_asof_join": _q_asof_join,
         "q_group_agg": _q_group_agg,
         "q_broadcast_join": _q_broadcast_join,
         "q_anti_join": _q_anti_join,
@@ -1131,7 +1134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text_lang_id,
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
-        "stream_text_quality": _stream_text_quality,
     }
 
 
