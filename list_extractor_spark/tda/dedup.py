@@ -836,3 +836,180 @@ def dedup_corpus(
     return documents.withColumn(
         "doc_id", F.col("doc_id").cast("string")
     ).join(drop, "doc_id", "left_anti")
+
+
+def dup_span_windows(
+    documents: DataFrame,
+    w: int = 50,
+    min_count: int = 2,
+    keep_gram_hash: bool = False,
+) -> DataFrame:
+    """Exact-substring duplication scan (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr pass):
+    every w-token sliding window whose exact content occurs at least
+    ``min_count`` times corpus-wide — the span-level dedup family the
+    shingle/minhash operators (document-level verdicts) don't cover.
+
+    Returns (doc_id, pos [1-based token index], n_occurrences,
+    is_canonical) with one row per duplicated window OCCURRENCE;
+    is_canonical marks the single globally-first occurrence of each window
+    content, ordered by (doc_id, pos), so "remove all copies but one" is a
+    filter.  ``keep_gram_hash`` additionally exposes the 64-bit window
+    fingerprint ``gh``.
+
+    Spark-first shape (vs the paper's single-node suffix array): windows
+    never materialize as a corpus-wide posting of strings — each scan task
+    forms its windows narrowly (explode(sequence) + slice + array_join,
+    the decontaminate pattern) and immediately collapses them to an 8-byte
+    xxhash64, so the ONE aggregation exchange carries (hash, count,
+    first-occurrence) and the join back ships (hash, doc_id, pos).  The
+    duplicated set is proportional to the DUPLICATION, not the corpus
+    (AQE broadcasts it when duplication is rare — unhinted, the
+    dedup_corpus rule), at the price of a second narrow window pass over
+    the scan — the same two-pass trade the paper makes against
+    materializing O(corpus x w) window bytes.  Window equality is decided
+    by the 64-bit fingerprint (collision odds ~n^2/2^65, the same
+    fingerprint trade as winnowing/simhash).  Matching is case-SENSITIVE
+    (exact substring, unlike the case-folded shingle family).
+
+    PERF: the corpus-wide aggregation is count-only ON PURPOSE — folding
+    the first-occurrence min(struct(doc_id, pos)) into it demotes the
+    whole agg to SortAggregate (two full sorts of every corpus window;
+    plan-verified), whereas count on the 8-byte key stays HashAggregate
+    with map-side partials.  The canonical flag is computed afterwards by
+    a row_number window over the DUPLICATED subset only, so the sort it
+    needs is duplication-proportional, not corpus-proportional.
+    """
+    t = F.split(F.trim("text"), r"\s+")
+    d = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), t.alias("t")
+    ).filter(F.size("t") >= w)
+    wins = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - (w - 1))).alias("pos"),
+        "t",
+    ).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(F.array_join(F.slice("t", F.col("pos"), w), " ")).alias("gh"),
+    )
+    counts = (
+        wins.groupBy("gh")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    out = (
+        wins.join(counts, "gh")
+        .withColumn("is_canonical", F.row_number().over(first) == 1)
+        .select("doc_id", "pos", "n_occurrences", "is_canonical", "gh")
+    )
+    return out if keep_gram_hash else out.drop("gh")
+
+
+def remove_dup_spans(
+    documents: DataFrame,
+    w: int = 50,
+    min_count: int = 2,
+    keep_first: bool = True,
+    affected_only: bool = False,
+) -> DataFrame:
+    """Cut duplicated w-token spans out of the corpus (the Lee et al. 2022
+    ExactSubstr CUT): per document, the union of its duplicated windows —
+    overlapping/adjacent windows merged into maximal intervals, so a
+    200-token duplicated passage is removed once, not 151 times — with the
+    single canonical occurrence of each window kept when ``keep_first``
+    (note a canonical window can still lose tokens to a DIFFERENT
+    overlapping duplicated span; removal is by interval union, the same
+    byte-masking semantics as the reference implementation).
+
+    Output: (doc_id, text, n_spans, n_tokens_removed, n_tokens_kept) per
+    surviving document.  Affected documents' text is the kept-token stream
+    re-joined with single spaces (token-level semantics, the
+    chunk_documents convention); untouched documents pass through
+    byte-identical with zero accounting; documents whose every token is
+    covered are dropped.  ``affected_only`` returns just the modified rows
+    (the contract-query form).
+
+    Scale shape: the removal set (non-canonical duplicated windows) is
+    proportional to the duplication; it collapses per document to an int
+    array (the groupBy shuffle carries ints, not text), joins the corpus
+    on doc_id (AQE broadcasts the span table when duplication is rare —
+    unhinted), and the splice is one narrow Arrow pass over the affected
+    rows only.  The untouched side is a broadcast anti-join — the big side
+    never shuffles."""
+    rm = dup_span_windows(documents, w, min_count)
+    if keep_first:
+        rm = rm.filter(~F.col("is_canonical"))
+    spans = rm.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("rm_pos")
+    )
+    docs = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    affected = docs.join(spans, "doc_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("n_spans", T.LongType(), True),
+            T.StructField("n_tokens_removed", T.LongType(), True),
+            T.StructField("n_tokens_kept", T.LongType(), True),
+        ]
+    )
+
+    def splice(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, text, rm_pos in zip(
+                pdf["doc_id"], pdf["text"], pdf["rm_pos"]
+            ):
+                # token parity with the JVM window pass: space-only trim
+                # (F.trim), java-\s split (ASCII whitespace)
+                toks = _WS_SPLIT.split(text.strip(" "))
+                merged: list[list[int]] = []
+                for p in rm_pos:  # sorted 1-based starts, [p, p+w)
+                    s, e = int(p), int(p) + w
+                    if merged and s <= merged[-1][1]:
+                        if e > merged[-1][1]:
+                            merged[-1][1] = e
+                    else:
+                        merged.append([s, e])
+                removed = sum(e - s for s, e in merged)
+                kept = []
+                si = 0
+                for i, tok in enumerate(toks, start=1):
+                    while si < len(merged) and i >= merged[si][1]:
+                        si += 1
+                    if si < len(merged) and merged[si][0] <= i:
+                        continue
+                    kept.append(tok)
+                recs.append(
+                    (doc_id, " ".join(kept), len(merged), removed, len(kept))
+                )
+            if not recs:
+                continue  # empty frames carry object dtypes Arrow rejects
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "text", "n_spans", "n_tokens_removed",
+                    "n_tokens_kept",
+                ],
+            )
+
+    cleaned = affected.mapInPandas(splice, schema=out_schema).filter(
+        F.col("n_tokens_kept") > 0
+    )
+    if affected_only:
+        return cleaned
+    untouched = docs.join(spans.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        "text",
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("n_tokens_removed"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+            "n_tokens_kept"
+        ),
+    )
+    return cleaned.unionByName(untouched)
