@@ -913,6 +913,7 @@ def remove_dup_spans(
     min_count: int = 2,
     keep_first: bool = True,
     affected_only: bool = False,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Cut duplicated w-token spans out of the corpus (the Lee et al. 2022
     ExactSubstr CUT): per document, the union of its duplicated windows —
@@ -937,8 +938,16 @@ def remove_dup_spans(
     on doc_id (AQE broadcasts the span table when duplication is rare —
     unhinted), and the splice is one narrow Arrow pass over the affected
     rows only.  The untouched side is a broadcast anti-join — the big side
-    never shuffles."""
-    rm = dup_span_windows(documents, w, min_count)
+    never shuffles.
+
+    ``windows``: a precomputed (ideally checkpointed/materialized)
+    dup_span_windows(documents, w, min_count) result — pass it when the
+    detection output is also consumed elsewhere, so the corpus window pass
+    isn't re-run inside the removal (detection alone is ~60% of the
+    end-to-end wall at 400k docs; see scripts/smoke_span_dedup.py)."""
+    rm = windows if windows is not None else dup_span_windows(
+        documents, w, min_count
+    )
     if keep_first:
         rm = rm.filter(~F.col("is_canonical"))
     spans = rm.groupBy("doc_id").agg(

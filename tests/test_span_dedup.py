@@ -160,6 +160,18 @@ def test_remove_dup_spans_drops_fully_covered_and_passes_untouched(spark):
     assert out["a"]["text"] == dict(_rows())["a"]  # canonical copy intact
 
 
+def test_remove_dup_spans_accepts_precomputed_windows(spark):
+    """Passing a materialized detection result (the share-the-pass form)
+    must produce identical removal output to the self-computing form."""
+    df = spark.createDataFrame(_rows(), "doc_id string, text string")
+    wins = dup_span_windows(df, w=W).localCheckpoint(eager=True)
+    a = sorted(map(tuple, remove_dup_spans(
+        df, w=W, affected_only=True, windows=wins).collect()))
+    b = sorted(map(tuple, remove_dup_spans(
+        df, w=W, affected_only=True).collect()))
+    assert a == b and a
+
+
 def test_remove_dup_spans_plan_broadcasts_small_sides(spark):
     """Under AQE the removal composition must not re-shuffle the corpus for
     its small-by-construction sides: the span-table join and the untouched
