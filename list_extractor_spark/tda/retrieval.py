@@ -1,0 +1,149 @@
+"""Text retrieval over the documents corpus: inverted-index term statistics,
+per-document TF-IDF keyword extraction, and BM25 ranked search.
+
+The reference pipeline mines Wikipedia list pages; a training-data curation
+stack additionally needs a retrieval surface over the same corpus — for
+boilerplate discovery (which terms dominate a crawl), per-document keyword
+tagging, and query-driven subset selection ("give me the docs about X" as a
+ranked slice, the standard data-selection primitive in LLM corpus work).
+
+Scale shape (the 100-TB story):
+
+  * Tokenization happens in the scan task (codegen `split`), so the only wide
+    edge is the (doc_id, term) aggregation — a classic inverted-index build
+    with map-side partial counts.  No explode survives past the first
+    aggregation.
+  * The term-statistics table (df per term) is tiny relative to the corpus
+    (vocabulary grows ~O(sqrt(tokens)), Heaps' law) but NOT guaranteed
+    broadcastable at web scale (billions of distinct terms in a raw crawl),
+    so the tf->idf join is size-gated through the shared plan-stats probe
+    (engine/stats.maybe_broadcast) exactly like the flagship snapshot joins.
+  * BM25 filters the posting explode to the query's terms BEFORE any
+    aggregation — the per-query work is proportional to the posting lists of
+    the query terms, not the corpus (the filter sits in the scan stage and
+    Catalyst pushes the IN-list into the generated code).
+  * Top-k is rank-within-partition (TF-IDF, window per doc) or a global
+    TakeOrdered limit (BM25) — never a full sort of the corpus.
+
+All scores are rounded to 6 decimals and ORDERED BY THE ROUNDED VALUE with a
+deterministic tie-break, so the result set is stable across engines (the
+DuckDB oracles replay the same formulas; a sub-ulp libm difference in ln()
+cannot reorder rows that the rounding has already made equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..engine.stats import maybe_broadcast
+
+
+def _tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, term) posting rows: lowercased whitespace tokens, built in the
+    scan task (codegen split + explode; same tokenizer as textstats)."""
+    return documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    )
+
+
+def term_stats(documents: DataFrame) -> DataFrame:
+    """Corpus term statistics: (term, df_docs, cf) — document frequency and
+    collection frequency.  One shuffle on term with map-side partial aggs;
+    the vocabulary table that idf and boilerplate analysis read."""
+    return _tokens(documents).groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df_docs"),
+        F.count("*").alias("cf"),
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword-tagging pass.
+
+    score = tf * ln(N / df), rounded to 6 decimals; term_rank is row_number
+    over (rounded score desc, term asc) so ties and cross-engine ordering are
+    deterministic.  Output: (doc_id, term, tf, df_docs, score, term_rank).
+
+    Plan: tf aggregates (doc_id, term) once; df is the term_stats aggregate
+    joined back on term through the size-gated broadcast probe; N arrives as
+    a 1-row cross join (broadcast by Catalyst, zero driver actions)."""
+    toks = _tokens(documents)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df_docs"))
+    n_docs = documents.groupBy().agg(F.count("*").alias("_n_docs"))
+    scored = (
+        tf.join(maybe_broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df_docs")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "df_docs", "score", "term_rank")
+    )
+
+
+def bm25_search(
+    documents: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents for a whitespace-tokenized
+    query string (Robertson/Sparck Jones idf, the Okapi formula).
+
+      idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+      s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Output: (doc_id, n_terms_hit, score) ordered by (rounded score desc,
+    doc_id asc), limited to k.
+
+    Plan: the posting explode is filtered to the query's terms before any
+    shuffle (per-query cost ~ posting-list size, not corpus size); dl rides
+    the same scan projection; df/avgdl/N are one tiny corpus aggregate pair
+    cross-joined in (both literally a handful of rows -> Catalyst
+    broadcasts).  The final top-k is a TakeOrdered, not a global sort."""
+    q_terms = [t for t in query.lower().split() if t]
+    if not q_terms:
+        raise ValueError("bm25_search: empty query")
+    dl_col = F.size(F.split(F.trim("text"), r"\s+"))
+    docs = documents.select("doc_id", "text", dl_col.alias("dl"))
+    toks = docs.select(
+        "doc_id",
+        "dl",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term").isin(q_terms))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df_docs"))
+    corpus = docs.groupBy().agg(
+        F.count("*").alias("_n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("_avgdl"),
+    )
+    idf = F.log(
+        1.0
+        + (F.col("_n_docs") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("s", idf * F.col("tf") * F.lit(k1 + 1.0) / denom)
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.round(F.sum("s"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

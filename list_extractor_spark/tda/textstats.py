@@ -478,6 +478,38 @@ def _line_filter_arrow(
     return documents.select("doc_id", "text").mapInPandas(run, schema=out_schema)
 
 
+def repetition_signals(documents: DataFrame, n: int = 2) -> DataFrame:
+    """Per-document n-gram repetition signals — the Gopher repetition family
+    (Rae et al. 2021 §A1.1: documents dominated by a few repeated n-grams are
+    boilerplate/spam and get filtered before training).
+
+    Output per doc: (doc_id, n_ngrams, n_distinct_ngrams, dup_ngram_frac,
+    top_ngram_share) with fractions rounded to 6 decimals:
+
+      dup_ngram_frac  = 1 - distinct/total   (mass sitting in repeats)
+      top_ngram_share = max_count/total      (share of the single hottest gram)
+
+    Scale shape: grams form in the scan task (sequence + slice + array_join —
+    codegen, not an interpreted transform() lambda), then two aggregations
+    with map-side partial combine: (doc_id, gram) counts, re-aggregated to
+    doc_id.  Both shuffles key on doc_id(+gram) so there is no hot corpus-
+    wide key; memory per task is bounded by a document's distinct grams."""
+    t = F.split(F.lower(F.trim("text")), r"\s+")
+    d = documents.select("doc_id", t.alias("t")).filter(F.size("t") >= n)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1))).alias("pos"),
+        "t",
+    ).select("doc_id", F.array_join(F.slice("t", F.col("pos"), n), " ").alias("gram"))
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.count("*").alias("n_distinct_ngrams"),
+        F.round(1 - F.count("*") / F.sum("cnt"), 6).alias("dup_ngram_frac"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_ngram_share"),
+    )
+
+
 def top_ngrams(documents: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     """Corpus-level n-gram frequency table, top-k: the vocabulary /
     boilerplate-detection pass (the grams that dominate a crawl are almost

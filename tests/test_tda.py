@@ -1135,3 +1135,99 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert "Exchange" not in plan and "mapInPandas" not in plan  # fully narrow
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
+# ---------------------------------------------------------------- retrieval
+
+
+def test_tfidf_top_terms_scores_and_ranks(spark):
+    import math
+
+    from list_extractor_spark.tda.retrieval import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [("a", "cat cat dog"), ("b", "dog fish"), ("c", "fish fish fish")],
+        "doc_id string, text string",
+    )
+    rows = {
+        (r["doc_id"], r["term"]): r for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # N=3; df: cat 1, dog 2, fish 2
+    a_cat = rows[("a", "cat")]
+    assert (a_cat["tf"], a_cat["df_docs"]) == (2, 1)
+    assert a_cat["score"] == round(2 * math.log(3 / 1), 6)
+    assert a_cat["term_rank"] == 1
+    assert rows[("a", "dog")]["term_rank"] == 2
+    assert rows[("c", "fish")]["score"] == round(3 * math.log(3 / 2), 6)
+    # k cap: doc b has two terms with EQUAL score (tf=1, df=2) -> term asc
+    assert rows[("b", "dog")]["term_rank"] == 1
+    assert rows[("b", "fish")]["term_rank"] == 2
+
+
+def test_tfidf_small_vocab_broadcasts(spark):
+    from list_extractor_spark.tda.retrieval import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [("a", "cat dog"), ("b", "dog fish")], "doc_id string, text string"
+    )
+    plan = (
+        tfidf_top_terms(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # tiny vocab -> the tf->idf join takes the size-gated broadcast path
+    assert "BroadcastHashJoin" in plan
+    assert "mapInPandas" not in plan
+
+
+def test_bm25_search_formula_and_ranking(spark):
+    import math
+
+    from list_extractor_spark.tda.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "rare common common"),
+            ("b", "common common common"),
+            ("c", "common stuff here"),
+            ("d", "other words entirely"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = bm25_search(docs, "rare common", k=3).collect()
+    # the rare-term doc wins; scores are emitted descending
+    assert rows[0]["doc_id"] == "a" and rows[0]["n_terms_hit"] == 2
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert len(rows) == 3 and {r["doc_id"] for r in rows} == {"a", "b", "c"}
+    # hand BM25 for doc a: N=4, every dl=3 -> dl/avgdl=1, denom = tf + 1.2
+    idf_rare = math.log(1 + (4 - 1 + 0.5) / (1 + 0.5))
+    idf_common = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    expected_a = idf_rare * 1 * 2.2 / (1 + 1.2) + idf_common * 2 * 2.2 / (2 + 1.2)
+    assert rows[0]["score"] == round(expected_a, 6)
+
+
+def test_bm25_rejects_empty_query(spark):
+    from list_extractor_spark.tda.retrieval import bm25_search
+
+    docs = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        bm25_search(docs, "   ")
+
+
+def test_repetition_signals_fractions(spark):
+    docs = spark.createDataFrame(
+        [("a", "x y x y x"), ("b", "u v w z"), ("c", "solo")],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.repetition_signals(docs, n=2).collect()
+    }
+    # a: bigrams [x y, y x, x y, y x] -> total 4, distinct 2, top count 2
+    assert (rows["a"]["n_ngrams"], rows["a"]["n_distinct_ngrams"]) == (4, 2)
+    assert rows["a"]["dup_ngram_frac"] == 0.5
+    assert rows["a"]["top_ngram_share"] == 0.5
+    # b: all distinct
+    assert rows["b"]["dup_ngram_frac"] == 0.0
+    assert rows["b"]["top_ngram_share"] == round(1 / 3, 6)
+    # c: below n tokens -> no row
+    assert "c" not in rows
