@@ -1,0 +1,139 @@
+"""Graph analytics over the materialized triple table: degree statistics and
+PageRank.  The reference stops at emitting .ttl files (rdf_builder.py); a
+KG-construction engine at dump scale also needs the standard post-materialize
+quality surface — hub detection, connectivity profile, entity importance —
+computed on the SAME DataFrame the sink writes, without exporting to a
+separate graph system.
+
+Graph model: the entity graph is the subset of triples whose object is a
+resource (obj_dt IS NULL in our schema — typed literals carry their XSD
+datatype IRI); subjects with only literal triples are not graph nodes.
+Parallel edges (two predicates between the same pair) count per occurrence,
+matching GraphX's multigraph semantics.
+
+Scale shape:
+  * degree_stats is two partial-aggregated groupBys (out side keyed on subj
+    over ALL triples, in side keyed on obj over entity edges) merged with one
+    outer join — no collect, no windows; hub skew is irrelevant because the
+    aggregation value is a count, combined map-side.
+  * pagerank is the join-agg iteration (contributions = rank/out_deg shuffled
+    on dst, summed with map-side combine), GraphX staticPageRank convention:
+    initial rank 1.0, update (1-d) + d * sum(contribs), NO dangling-mass
+    redistribution (keeps every iteration a pure join+agg with zero driver
+    actions).  Edges are localCheckpoint'd once so the upstream extract plan
+    is not re-run per iteration, and ranks re-checkpoint every
+    ``checkpoint_every`` rounds to bound lineage depth — the same discipline
+    as the distributed CC loop (tda/dedup.near_dup_resolve).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def entity_edges(triples: DataFrame) -> DataFrame:
+    """(src, dst) multigraph edges: triples whose object is a resource."""
+    return triples.filter(F.col("obj_dt").isNull()).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+
+
+def degree_stats(triples: DataFrame) -> DataFrame:
+    """Per-entity degree profile over the triple table.
+
+    Output: (entity, out_degree, in_degree, n_pred_out) where out_degree
+    counts ALL triples with the entity as subject (literal statements
+    included — it is the statement fan-out the Turtle sink writes),
+    in_degree counts entity edges pointing at it, and n_pred_out the
+    distinct predicates it uses as subject.  Entities = distinct subjects
+    UNION entity-valued objects; absent sides coalesce to 0."""
+    out_side = triples.groupBy(F.col("subj").alias("entity")).agg(
+        F.count("*").alias("out_degree"),
+        F.count_distinct("pred").alias("n_pred_out"),
+    )
+    in_side = (
+        entity_edges(triples)
+        .groupBy(F.col("dst").alias("entity"))
+        .agg(F.count("*").alias("in_degree"))
+    )
+    return (
+        out_side.join(in_side, "entity", "full_outer")
+        .select(
+            "entity",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("n_pred_out", F.lit(0)).alias("n_pred_out"),
+        )
+    )
+
+
+def pagerank(
+    triples: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the entity graph (GraphX staticPageRank
+    convention: init 1.0, rank' = (1-d) + d * sum(in-contribs), parallel
+    edges contribute per occurrence, no dangling redistribution).
+
+    Output: (entity, pagerank).  The operator is *quantized PageRank* — a
+    fully deterministic algorithm, not a float approximation of one.  Two
+    measures kill run-to-run (and engine-vs-replica) nondeterminism:
+
+      1. contributions are cast to DECIMAL(28,15) before the shuffle sum, so
+         the aggregation is EXACT and summation order is immaterial (a plain
+         double sum adds in shuffle order; these rational rank values
+         cluster on terminating decimals, and a boundary value — 0.7545625
+         on the fixture graph — flipped its 6th digit between local[8] and
+         local[32] partitionings);
+      2. ranks are re-rounded to ``round_to`` decimals after every
+         iteration, so state entering each round is the same exact decimal
+         everywhere.
+
+    Envelope: DECIMAL(28,15) carries 13 integer digits; per-node sums are
+    bounded by the node count, so the exact path holds to ~10^13 nodes
+    (overflow under non-ANSI Spark would NULL a rank — same envelope note
+    as tda/profile.py's mean).
+
+    Each iteration is one shuffle (contributions keyed on dst) plus a
+    broadcast-eligible join of ranks against the static out-degree table;
+    nodes without in-edges fall back to (1-d) via outer join + coalesce."""
+    if iters < 1:
+        raise ValueError("pagerank: iters must be >= 1")
+    edges = entity_edges(triples).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("entity"))
+        .union(edges.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("entity")).agg(
+        F.count("*").alias("out_deg")
+    )
+    base = F.lit(1.0 - damping)
+    ranks = nodes.select("entity", F.lit(1.0).alias("rank"))
+    for i in range(iters):
+        per_src = ranks.join(out_deg, "entity").select(
+            F.col("entity").alias("src"),
+            (F.col("rank") / F.col("out_deg"))
+            .cast("decimal(28,15)")
+            .alias("c"),
+        )
+        contribs = (
+            edges.join(per_src, "src")
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "entity", "left").select(
+            "entity",
+            F.round(
+                base
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                round_to,
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("entity", F.col("rank").alias("pagerank"))

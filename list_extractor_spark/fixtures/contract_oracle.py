@@ -225,6 +225,58 @@ STREAM_WINDOWED_EVENTS_SQL = """
 """
 
 
+def _oracle_triple_list():
+    return oracle_triples(_fixture_docs(), make_snapshots(), canonicalize=True)
+
+
+def kg_degree_rows():
+    """engine/graphstats.degree_stats replica: out-degree over ALL triples,
+    in-degree over entity edges (obj_dt is None), distinct predicates out."""
+    out_deg: dict[str, int] = {}
+    pred_out: dict[str, set] = {}
+    in_deg: dict[str, int] = {}
+    for s, p, o, dt in _oracle_triple_list():
+        out_deg[s] = out_deg.get(s, 0) + 1
+        pred_out.setdefault(s, set()).add(p)
+        if dt is None:
+            in_deg[o] = in_deg.get(o, 0) + 1
+    ents = sorted(set(out_deg) | set(in_deg))
+    return [
+        (e, out_deg.get(e, 0), in_deg.get(e, 0), len(pred_out.get(e, ())))
+        for e in ents
+    ]
+
+
+def kg_pagerank_rows(iters: int = 5, damping: float = 0.85):
+    """engine/graphstats.pagerank replica (GraphX convention: init 1.0,
+    rank' = (1-d) + d*sum(in-contribs), parallel edges per occurrence, no
+    dangling redistribution).  Mirrors the operator's determinism measures
+    exactly: contributions quantize to DECIMAL(28,15) (Spark's double->
+    decimal cast is HALF_UP on the exact binary value) and sum EXACTLY, so
+    summation order is immaterial; ranks re-round to 6 decimals per
+    iteration."""
+    q15 = Decimal("1e-15")
+    edges = [(s, o) for (s, _p, o, dt) in _oracle_triple_list() if dt is None]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out_deg: dict[str, int] = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    zero = Decimal(0)
+    for _ in range(iters):
+        acc: dict[str, Decimal] = {}
+        for src, dst in edges:
+            c = Decimal(rank[src] / out_deg[src]).quantize(q15, ROUND_HALF_UP)
+            acc[dst] = acc.get(dst, zero) + c
+        rank = {
+            n: _round_half_up(
+                (1.0 - damping) + damping * float(acc.get(n, zero)), 6
+            )
+            for n in nodes
+        }
+    return [(n, rank[n]) for n in nodes]
+
+
 def kg_canonical_map_rows():
     snaps = make_snapshots()
     cmap = canonical_map(build_edges(snaps["redirects"], snaps["sameas"]))
@@ -942,6 +994,15 @@ def kg_oracle_sql(sf_dir: str) -> dict[str, str]:
     """All kg_* oracle SQL strings (VALUES literals over expected rows)."""
     return {
         "kg_pipeline": values_sql(kg_pipeline_rows(), _TRIPLE_COLS),
+        "kg_degree_stats": values_sql(
+            kg_degree_rows(),
+            [("entity", "VARCHAR"), ("out_degree", "BIGINT"),
+             ("in_degree", "BIGINT"), ("n_pred_out", "BIGINT")],
+        ),
+        "kg_pagerank": values_sql(
+            kg_pagerank_rows(),
+            [("entity", "VARCHAR"), ("pagerank", "DOUBLE")],
+        ),
         "kg_candidates": values_sql(
             kg_candidates_rows(),
             [("doc_id", "VARCHAR"), ("subj", "VARCHAR"), ("pred", "VARCHAR"),

@@ -1,0 +1,79 @@
+"""Graph analytics over the triple table (engine/graphstats): hand-computed
+degree and PageRank values on tiny graphs; GraphX staticPageRank conventions
+(init 1.0, (1-d) + d*sum update, parallel edges per occurrence)."""
+
+import pytest
+
+from list_extractor_spark.engine.graphstats import degree_stats, pagerank
+
+GYEAR = "http://www.w3.org/2001/XMLSchema#gYear"
+SCHEMA = "subj string, pred string, obj string, obj_dt string"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(
+        [
+            ("A", "p1", "B", None),
+            ("A", "p1", "C", None),
+            ("A", "p2", "1999", GYEAR),
+            ("B", "p1", "C", None),
+            ("D", "p3", "x", GYEAR),
+        ],
+        SCHEMA,
+    )
+
+
+def test_degree_stats_hand_values(spark, triples):
+    rows = {r["entity"]: r for r in degree_stats(triples).collect()}
+    # out over ALL triples (literals included), in over entity edges only
+    assert (rows["A"]["out_degree"], rows["A"]["in_degree"], rows["A"]["n_pred_out"]) == (3, 0, 2)
+    assert (rows["B"]["out_degree"], rows["B"]["in_degree"], rows["B"]["n_pred_out"]) == (1, 1, 1)
+    assert (rows["C"]["out_degree"], rows["C"]["in_degree"], rows["C"]["n_pred_out"]) == (0, 2, 0)
+    # literal-only subject still profiled; literal objects are not entities
+    assert (rows["D"]["out_degree"], rows["D"]["in_degree"]) == (1, 0)
+    assert "1999" not in rows and "x" not in rows
+
+
+def test_pagerank_two_iterations_hand_values(spark, triples):
+    # entity graph: A->B, A->C, B->C; D has no entity edges -> not a node
+    rows = {r["entity"]: r["pagerank"] for r in pagerank(triples, iters=2).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    # iter1: A=0.15, B=0.575, C=1.425
+    # iter2: A=0.15, B=0.15+0.85*0.075=0.21375, C=0.15+0.85*(0.075+0.575)=0.7025
+    assert rows["A"] == 0.15
+    assert rows["B"] == 0.21375
+    assert rows["C"] == 0.7025
+
+
+def test_pagerank_parallel_edges_count_per_occurrence(spark):
+    t = spark.createDataFrame(
+        [("A", "p1", "B", None), ("A", "p2", "B", None)], SCHEMA
+    )
+    rows = {r["entity"]: r["pagerank"] for r in pagerank(t, iters=1).collect()}
+    # out_deg(A)=2, both edges land on B: B = 0.15 + 0.85*(0.5+0.5) = 1.0
+    assert rows["A"] == 0.15 and rows["B"] == 1.0
+
+
+def test_pagerank_matches_python_replica_on_fixture_graph(spark):
+    from list_extractor_spark.fixtures.contract_oracle import (
+        _fixture_docs,
+        kg_pagerank_rows,
+    )
+    from list_extractor_spark.fixtures import corpus_to_rows, make_snapshots
+    from list_extractor_spark.engine.pipeline import run_pipeline
+    from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(
+        corpus_to_rows(_fixture_docs()), DOCUMENTS_SCHEMA
+    )
+    got = sorted(
+        (r["entity"], r["pagerank"])
+        for r in pagerank(run_pipeline(spark, docs, make_snapshots()), iters=5).collect()
+    )
+    assert got == sorted(kg_pagerank_rows())
+
+
+def test_pagerank_rejects_zero_iters(spark, triples):
+    with pytest.raises(ValueError):
+        pagerank(triples, iters=0)
