@@ -64,12 +64,22 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     over (rounded score desc, term asc) so ties and cross-engine ordering are
     deterministic.  Output: (doc_id, term, tf, df_docs, score, term_rank).
 
-    Plan: tf aggregates (doc_id, term) once; df is the term_stats aggregate
-    joined back on term through the size-gated broadcast probe; N arrives as
-    a 1-row cross join (broadcast by Catalyst, zero driver actions)."""
-    toks = _tokens(documents)
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_t = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df_docs"))
+    Plan: the (doc_id, term) tf table aggregates once and is lazily
+    localCheckpoint'd — it feeds BOTH the scored rows and the df aggregate,
+    and without the checkpoint Catalyst prunes the two branches differently
+    and re-runs the corpus scan + explode per consumer (verified in the
+    physical plan; same single-materialization discipline as
+    tda/dedup.near_dup_resolve's pair table).  df is then a plain count(*)
+    over tf (exactly one row per (doc, term)), joined back on term through
+    the size-gated broadcast probe; N arrives as a 1-row cross join
+    (broadcast by Catalyst)."""
+    tf = (
+        _tokens(documents)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
     n_docs = documents.groupBy().agg(F.count("*").alias("_n_docs"))
     scored = (
         tf.join(maybe_broadcast(df_t), "term")
@@ -118,10 +128,16 @@ def bm25_search(
         "dl",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
     ).filter(F.col("term").isin(q_terms))
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    # the filtered tf table is tiny (<= |query terms| rows per doc); the lazy
+    # checkpoint keeps the full-corpus scan + explode behind it from running
+    # twice (once for scores, once for df)
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .localCheckpoint(eager=False)
     )
-    df_t = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df_docs"))
+    # one row per (doc, term) -> df is a plain count(*) over tf
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
     corpus = docs.groupBy().agg(
         F.count("*").alias("_n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("_avgdl"),
