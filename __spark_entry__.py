@@ -1618,16 +1618,19 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT term, count(DISTINCT doc_id) AS df_docs
               FROM h GROUP BY 1
             ), s AS (
+              -- per-term partial rounded to 12 dp and summed as DECIMAL:
+              -- exact, order-independent (mirrors tda/retrieval.bm25_search)
               SELECT tf.doc_id,
-                     ln(1.0 + (c.n_docs - df.df_docs + 0.5)
-                              / (df.df_docs + 0.5))
-                       * tf.tf * (1.2 + 1.0)
-                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / c.avgdl))
-                     AS s
+                     CAST(round(
+                       ln(1.0 + (c.n_docs - df.df_docs + 0.5)
+                                / (df.df_docs + 0.5))
+                         * tf.tf * (1.2 + 1.0)
+                         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / c.avgdl)),
+                       12) AS DECIMAL(28,12)) AS s
               FROM tf JOIN df USING (term), c
             )
             SELECT doc_id, count(*) AS n_terms_hit,
-                   round(sum(s), 6) AS score
+                   round(CAST(sum(s) AS DOUBLE), 6) AS score
             FROM s GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC
             LIMIT 10

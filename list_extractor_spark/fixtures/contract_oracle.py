@@ -225,6 +225,19 @@ STREAM_WINDOWED_EVENTS_SQL = """
 """
 
 
+_Q15 = Decimal("1e-15")
+
+
+def _dec15(x: float) -> Decimal:
+    """Replica of Spark's double -> DECIMAL(28,15) cast: HALF_UP over the
+    SHORTEST DECIMAL REPR of the double (BigDecimal.valueOf goes through
+    Double.toString), NOT over the exact binary value — the same repr-first
+    trap _round_half_up documents.  Empirically pinned against the JVM in
+    tests/test_graphstats.py: Decimal(x) (exact binary) diverges on 15-dp
+    midpoints like 0.150001/1024 = ...5625e-4, repr() matches."""
+    return Decimal(repr(x)).quantize(_Q15, ROUND_HALF_UP)
+
+
 def _oracle_triple_list():
     return oracle_triples(_fixture_docs(), make_snapshots(), canonicalize=True)
 
@@ -251,11 +264,9 @@ def kg_pagerank_rows(iters: int = 5, damping: float = 0.85):
     """engine/graphstats.pagerank replica (GraphX convention: init 1.0,
     rank' = (1-d) + d*sum(in-contribs), parallel edges per occurrence, no
     dangling redistribution).  Mirrors the operator's determinism measures
-    exactly: contributions quantize to DECIMAL(28,15) (Spark's double->
-    decimal cast is HALF_UP on the exact binary value) and sum EXACTLY, so
-    summation order is immaterial; ranks re-round to 6 decimals per
-    iteration."""
-    q15 = Decimal("1e-15")
+    exactly: contributions quantize to DECIMAL(28,15) via _dec15 and sum
+    EXACTLY, so summation order is immaterial; ranks re-round to 6 decimals
+    per iteration."""
     edges = [(s, o) for (s, _p, o, dt) in _oracle_triple_list() if dt is None]
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     out_deg: dict[str, int] = {}
@@ -266,7 +277,7 @@ def kg_pagerank_rows(iters: int = 5, damping: float = 0.85):
     for _ in range(iters):
         acc: dict[str, Decimal] = {}
         for src, dst in edges:
-            c = Decimal(rank[src] / out_deg[src]).quantize(q15, ROUND_HALF_UP)
+            c = _dec15(rank[src] / out_deg[src])
             acc[dst] = acc.get(dst, zero) + c
         rank = {
             n: _round_half_up(

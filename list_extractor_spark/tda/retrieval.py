@@ -113,6 +113,13 @@ def bm25_search(
     Output: (doc_id, n_terms_hit, score) ordered by (rounded score desc,
     doc_id asc), limited to k.
 
+    Determinism: the per-term partial scores are doubles, and a plain double
+    sum adds them in shuffle-arrival order — the boundary-flip class of bug
+    the quantized PageRank fixed (engine/graphstats.py).  Each partial is
+    therefore rounded to 12 decimals and summed as DECIMAL(28,12) (exact,
+    order-independent); the final 6-dp round happens on the decimal total
+    cast back to double.  The oracle replays the identical sequence.
+
     Plan: the posting explode is filtered to the query's terms before any
     shuffle (per-query cost ~ posting-list size, not corpus size); dl rides
     the same scan projection; df/avgdl/N are one tiny corpus aggregate pair
@@ -152,13 +159,18 @@ def bm25_search(
     per_term = (
         tf.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(corpus))
-        .withColumn("s", idf * F.col("tf") * F.lit(k1 + 1.0) / denom)
+        .withColumn(
+            "s",
+            F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 12).cast(
+                "decimal(28,12)"
+            ),
+        )
     )
     return (
         per_term.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_terms_hit"),
-            F.round(F.sum("s"), 6).alias("score"),
+            F.round(F.sum("s").cast("double"), 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

@@ -4,8 +4,8 @@
     Zipf-ish vocabulary (hub terms appear in most docs, tail terms in few —
     the df skew a real crawl shows);
   * degree_stats + 5-iteration quantized PageRank over a deterministic
-    E-edge multigraph with planted hub nodes (100 hubs absorb ~10% of all
-    edges — the in-degree skew of a real KG).
+    E-edge multigraph with planted hub nodes (10 hubs absorb ~10% of all
+    edges, in-degree E/100 each — the in-degree skew of a real KG).
 
 Everything is a closed-form function of the row index (no RNG state), so
 results are partition-layout independent and re-runs are identical.
@@ -64,8 +64,9 @@ def build_docs(spark):
 
 
 def build_triples(spark):
-    """(subj, pred, obj, obj_dt) entity edges; 10% of edges retarget to one
-    of 100 hub nodes — the mega-list in-degree skew."""
+    """(subj, pred, obj, obj_dt) entity edges; every 10th edge retargets to
+    one of 10 hub nodes (id%10==0 makes id%100 take only {0,10,...,90}), so
+    each hub absorbs E/100 in-edges — the mega-list in-degree skew."""
     n_nodes = max(N_DOCS, 1000)
     e = spark.range(N_EDGES)
     src = F.pmod(F.col("id") * F.lit(1103515245) + F.lit(12345), F.lit(n_nodes))

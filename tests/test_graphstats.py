@@ -77,3 +77,30 @@ def test_pagerank_matches_python_replica_on_fixture_graph(spark):
 def test_pagerank_rejects_zero_iters(spark, triples):
     with pytest.raises(ValueError):
         pagerank(triples, iters=0)
+
+
+def test_decimal15_cast_replica_matches_jvm(spark):
+    """Pin the replica's double->DECIMAL(28,15) quantization against Spark's
+    actual cast on midpoint-adversarial values: Spark goes through the
+    SHORTEST DECIMAL REPR (BigDecimal.valueOf / Double.toString), so
+    Decimal(repr(x)) is correct and Decimal(x) (exact binary) is NOT —
+    0.150001/1024 = ...4853515625e-4 rounds UP via repr but DOWN via the
+    exact binary value, which sits just below the 15-dp midpoint."""
+    from decimal import Decimal
+
+    from list_extractor_spark.fixtures.contract_oracle import _dec15
+    from pyspark.sql import functions as F
+
+    cases = [
+        float(r) / od
+        for r in ("0.150001", "0.754563", "0.21375", "0.999999", "0.000001")
+        for od in (3, 7, 512, 1024, 2048, 4096, 850000)
+    ]
+    df = spark.createDataFrame([(x,) for x in cases], "x double").select(
+        "x", F.col("x").cast("decimal(28,15)").alias("d")
+    )
+    for row in df.collect():
+        assert Decimal(str(row["d"])) == _dec15(row["x"]), row["x"]
+    # and the known midpoint case really is a midpoint that diverges
+    x = 0.150001 / 1024
+    assert _dec15(x) != Decimal(x).quantize(Decimal("1e-15"))

@@ -1198,11 +1198,16 @@ def test_bm25_search_formula_and_ranking(spark):
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert len(rows) == 3 and {r["doc_id"] for r in rows} == {"a", "b", "c"}
-    # hand BM25 for doc a: N=4, every dl=3 -> dl/avgdl=1, denom = tf + 1.2
+    # hand BM25 for doc a: N=4, every dl=3 -> dl/avgdl=1, denom = tf + 1.2;
+    # per-term partials round to 12 dp before the exact decimal sum
     idf_rare = math.log(1 + (4 - 1 + 0.5) / (1 + 0.5))
     idf_common = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
-    expected_a = idf_rare * 1 * 2.2 / (1 + 1.2) + idf_common * 2 * 2.2 / (2 + 1.2)
-    assert rows[0]["score"] == round(expected_a, 6)
+    expected_a = round(
+        round(idf_rare * 1 * 2.2 / (1 + 1.2), 12)
+        + round(idf_common * 2 * 2.2 / (2 + 1.2), 12),
+        6,
+    )
+    assert rows[0]["score"] == expected_a
 
 
 def test_bm25_rejects_empty_query(spark):
