@@ -1236,3 +1236,46 @@ def test_repetition_signals_fractions(spark):
     assert rows["b"]["top_ngram_share"] == round(1 / 3, 6)
     # c: below n tokens -> no row
     assert "c" not in rows
+
+
+# ------------------------------------------------------------- sessionize
+
+
+def test_sessionize_hand_sessions(spark):
+    from datetime import datetime
+
+    from list_extractor_spark.tda.sessionize import sessionize
+
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            # user 1: two sessions (1h gap in-session, 10h gap breaks)
+            (1, t(0), 10), (1, t(1), 11), (1, t(11), 12),
+            # user 2: gap of EXACTLY 8h stays in-session (strict >)
+            (2, t(0), 20), (2, t(8), 21),
+            # user 3: same-ts tie -> one session, ordered by event_id
+            (3, t(5), 31), (3, t(5), 30),
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    rows = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(events, gap_sec=28800).collect()
+    }
+    assert rows[(1, 1)]["n_events"] == 2 and rows[(1, 1)]["end_ts"] == t(1)
+    assert rows[(1, 2)]["n_events"] == 1 and rows[(1, 2)]["start_ts"] == t(11)
+    assert rows[(2, 1)]["n_events"] == 2  # boundary gap does not split
+    assert (2, 2) not in rows
+    assert rows[(3, 1)]["n_events"] == 2
+
+
+def test_sessionize_single_exchange(spark):
+    from list_extractor_spark.tda.sessionize import sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        sessionize(events)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one user-keyed shuffle feeds both windows AND the session rollup
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "mapInPandas" not in plan
