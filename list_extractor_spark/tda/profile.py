@@ -94,3 +94,48 @@ def profile_numeric(df: DataFrame, columns: list[str] | None = None,
         ).alias("column", "n_rows", "n_nulls", "n_distinct", "min_value",
                 "max_value", "mean_value")
     )
+
+
+def profile_quantiles(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    ps: tuple = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-column percentile profile, long form: (column, p, value).
+
+    ``exact=False`` (default) uses percentile_approx — a bounded-memory
+    quantile sketch that combines map-side, the only shape that survives
+    billions of rows; ``exact=True`` uses percentile (exact linear
+    interpolation, a full per-group sort inside the agg) for small tables
+    and the oracle gate, matching DuckDB's quantile_cont.  Either way the
+    whole profile is ONE aggregation pass (len(cols) * len(ps) agg
+    expressions — no arrays to unpack, no per-column jobs); values round to
+    6 dp so the one interpolation step cannot flake the comparison."""
+    from pyspark.sql.types import NumericType
+
+    cols = columns or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    ]
+    aggs = []
+    for c in cols:
+        for i, p in enumerate(ps):
+            e = (
+                F.percentile(F.col(c), F.lit(p))
+                if exact
+                else F.percentile_approx(F.col(c), F.lit(p), F.lit(accuracy))
+            )
+            # index-based alias: a '0.25' suffix would parse as a nested
+            # field reference in the stack() projection below
+            aggs.append(F.round(e.cast("double"), 6).alias(f"{c}__q{i}"))
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        for i, p in enumerate(ps):
+            stack_args += [F.lit(c), F.lit(float(p)), F.col(f"{c}__q{i}")]
+    return one.select(
+        F.stack(F.lit(len(cols) * len(ps)), *stack_args).alias(
+            "column", "p", "value"
+        )
+    )

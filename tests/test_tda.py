@@ -1279,3 +1279,22 @@ def test_sessionize_single_exchange(spark):
     # one user-keyed shuffle feeds both windows AND the session rollup
     assert plan.count("Exchange hashpartitioning") == 1
     assert "mapInPandas" not in plan
+
+
+def test_profile_quantiles_exact_and_sketch(spark):
+    from list_extractor_spark.tda.profile import profile_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 6)], "v double")
+    rows = {
+        r["p"]: r["value"]
+        for r in profile_quantiles(df, ["v"], ps=(0.25, 0.5, 0.95), exact=True).collect()
+    }
+    # linear interpolation at rank p*(n-1): pos 1.0 -> 2.0, 2.0 -> 3.0,
+    # 3.8 -> 4 + 0.8
+    assert rows[0.25] == 2.0 and rows[0.5] == 3.0 and rows[0.95] == 4.8
+    # the sketch path returns actual elements within sketch tolerance
+    approx = {
+        r["p"]: r["value"]
+        for r in profile_quantiles(df, ["v"], ps=(0.5,), exact=False).collect()
+    }
+    assert abs(approx[0.5] - 3.0) <= 1.0
