@@ -69,6 +69,31 @@ def stream_triples(
     return writer.start()
 
 
+def session_event_rollup(events_stream: DataFrame, gap: str = "8 hours"):
+    """Gap-based sessionization as a STREAM via Spark's native
+    session_window: windows [ts, ts+gap) merge while events keep arriving
+    within the gap, the engine's dynamic-window state op.  Boundary
+    semantics: an event exactly ``gap`` after the previous one starts a NEW
+    session (window end is exclusive) — one tick stricter than the batch
+    operator in tda/sessionize.py, whose gap test is strictly-greater; the
+    contract oracle for the stream mirrors the >= break.
+
+    Output: (user_id, n_events, start_ts, end_ts) per session — start/end
+    are the observed min/max event times (the window itself ends gap after
+    the last event).  State per (user, open session) is O(1); complete-mode
+    memory sink in the contract query, watermark + append in production."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .select("user_id", "n_events", "start_ts", "end_ts")
+    )
+
+
 def windowed_event_counts(events_stream: DataFrame, watermark: str = "10 minutes"):
     """Late-data pattern: watermarked 5-minute windows over the events stream
     (SURVEY.md §2.7: the reference has no streaming; this is the engine's

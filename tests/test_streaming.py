@@ -311,3 +311,41 @@ def test_stream_quality_filter_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, quality_filter(docs.select("doc_id", "text")).collect()))
     assert got == want and got
+
+
+def test_stream_sessionize_equals_batch_session_window(spark, tmp_path):
+    """The streamed session_window rollup must equal the same session_window
+    aggregation run in batch over identical events — Spark merges session
+    state across micro-batches, so any divergence means the dynamic-window
+    state op lost or split sessions at batch boundaries."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from list_extractor_spark.streaming.stream_extract import session_event_rollup
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_event_rollup(stream, gap="8 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(map(tuple, session_event_rollup(events, gap="8 hours").collect()))
+    assert got == want and len(got) > len(
+        events.select("user_id").distinct().collect()
+    )  # real multi-session users, not one session per user
