@@ -175,3 +175,47 @@ def bm25_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document unigram language-model score — the KenLM-style quality
+    filter of LLM data pipelines (docs whose tokens are improbable under the
+    corpus LM are noise; docs that are too probable are boilerplate).
+
+    score(d) = sum_t tf_dt * ln(cf_t / total_tokens) / dl_d  (avg log-prob
+    per token; no smoothing needed — every scored token is in the corpus by
+    construction).
+
+    Output: (doc_id, n_tokens, avg_logprob) with avg_logprob rounded to 6.
+
+    Determinism: the per-(doc, term) partial rounds to 12 decimals and sums
+    as DECIMAL(28,12) — exact and order-independent, the same discipline as
+    bm25_search/pagerank; the one division and final round happen on the
+    decimal total.  Plan: the tf table materializes once (lazy checkpoint)
+    and feeds both the per-term corpus frequency (one reused aggregation
+    tree) and the scored rows; cf joins back through the size-gated
+    broadcast probe; total_tokens is a 1-row broadcast."""
+    tf = (
+        _tokens(documents)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.groupBy().agg(F.sum("cf").alias("_total"))
+    partial = (
+        tf.join(maybe_broadcast(cf), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp",
+            F.round(
+                F.col("tf") * F.log(F.col("cf") / F.col("_total")), 12
+            ).cast("decimal(28,12)"),
+        )
+    )
+    return partial.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            F.sum("lp").cast("double") / F.sum("tf"), 6
+        ).alias("avg_logprob"),
+    )

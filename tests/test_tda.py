@@ -1298,3 +1298,22 @@ def test_profile_quantiles_exact_and_sketch(spark):
         for r in profile_quantiles(df, ["v"], ps=(0.5,), exact=False).collect()
     }
     assert abs(approx[0.5] - 3.0) <= 1.0
+
+
+def test_unigram_logprob_hand_values(spark):
+    import math
+
+    from list_extractor_spark.tda.retrieval import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [("a", "x x y"), ("b", "y z")], "doc_id string, text string"
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # corpus: x:2 y:2 z:1, total 5; partials round to 12dp before the sum
+    lp_x, lp_y, lp_z = (math.log(2 / 5), math.log(2 / 5), math.log(1 / 5))
+    a = round((round(2 * lp_x, 12) + round(1 * lp_y, 12)) / 3, 6)
+    b = round((round(1 * lp_y, 12) + round(1 * lp_z, 12)) / 2, 6)
+    assert rows["a"]["n_tokens"] == 3 and rows["a"]["avg_logprob"] == a
+    assert rows["b"]["n_tokens"] == 2 and rows["b"]["avg_logprob"] == b
+    # the rarer-token doc is less probable under the corpus LM
+    assert rows["b"]["avg_logprob"] < rows["a"]["avg_logprob"]
