@@ -636,7 +636,7 @@ def _q_sessionize(spark, sf_dir):
     one sort, session rollup co-located (no second exchange)."""
     from list_extractor_spark.tda.sessionize import sessionize
 
-    return sessionize(_load(spark, sf_dir, "events"), gap_sec=28800.0)
+    return sessionize(_load(spark, sf_dir, "events"), gap_sec=28800)
 
 
 def _text_tfidf(spark, sf_dir):
@@ -996,6 +996,30 @@ def _stream_kg_canonical(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id", "subj", "pred", "obj", "obj_dt")
 
 
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _staged_events_stream(spark, sf_dir):
+    """Events table as a file-source stream: the parquet source streams a
+    DIRECTORY, so the single driver file is staged once (_stage_once) and
+    read back with the shared schema — the ONE definition every events
+    stream query uses (a schema drift edited in one copy but not another
+    would be a silent schema-on-read mismatch)."""
+    src = _stage_once(
+        sf_dir, "events.parquet", "events_src",
+        lambda t: spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .write.parquet(t),
+    )
+    return (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
 def _stream_windowed_events(spark, sf_dir):
     """Watermarked tumbling-window aggregation over the events table run AS A
     STREAM (availableNow, complete mode to a memory sink)."""
@@ -1003,23 +1027,7 @@ def _stream_windowed_events(spark, sf_dir):
 
     from list_extractor_spark.streaming.stream_extract import windowed_event_counts
 
-    events_schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
-    )
-    import tempfile
-
-    # the parquet file source streams a DIRECTORY; stage the single file once
-    src = _stage_once(
-        sf_dir, "events.parquet", "events_src",
-        lambda t: spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .write.parquet(t),
-    )
-    stream = (
-        spark.readStream.schema(events_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    stream = _staged_events_stream(spark, sf_dir)
     name = f"winev_{uuid.uuid4().hex[:8]}"
     q = (
         windowed_event_counts(stream)
@@ -1046,20 +1054,7 @@ def _stream_sessionize(spark, sf_dir):
 
     from list_extractor_spark.streaming.stream_extract import session_event_rollup
 
-    events_schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
-    )
-    src = _stage_once(
-        sf_dir, "events.parquet", "events_src",
-        lambda t: spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .write.parquet(t),
-    )
-    stream = (
-        spark.readStream.schema(events_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    stream = _staged_events_stream(spark, sf_dir)
     name = f"sessw_{uuid.uuid4().hex[:8]}"
     q = (
         session_event_rollup(stream, gap="8 hours")
@@ -1659,15 +1654,16 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY n_occurrences DESC, gram ASC
             LIMIT 20
         """,
-        # streaming sessionization: session_window's window end is
-        # EXCLUSIVE, so a gap of exactly 8h starts a new session (>= break)
-        # — one tick stricter than the batch operator's strictly-greater;
-        # otherwise the same exact interval arithmetic
+        # streaming sessionization: session_window MERGES an event exactly
+        # gap seconds after its predecessor (empirically pinned in
+        # tests/test_streaming.py — the merge bound is inclusive), i.e. the
+        # SAME strictly-greater break as the batch operator; only the output
+        # shape differs (no session_idx column)
         "stream_sessionize": """
             WITH f AS (
               SELECT user_id, ts, event_id,
                      CASE WHEN lag(ts) OVER w IS NULL
-                            OR ts - lag(ts) OVER w >= INTERVAL 28800 SECOND
+                            OR ts - lag(ts) OVER w > INTERVAL 28800 SECOND
                           THEN 1 ELSE 0 END AS new_s
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

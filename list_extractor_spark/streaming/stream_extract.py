@@ -71,12 +71,13 @@ def stream_triples(
 
 def session_event_rollup(events_stream: DataFrame, gap: str = "8 hours"):
     """Gap-based sessionization as a STREAM via Spark's native
-    session_window: windows [ts, ts+gap) merge while events keep arriving
-    within the gap, the engine's dynamic-window state op.  Boundary
-    semantics: an event exactly ``gap`` after the previous one starts a NEW
-    session (window end is exclusive) — one tick stricter than the batch
-    operator in tda/sessionize.py, whose gap test is strictly-greater; the
-    contract oracle for the stream mirrors the >= break.
+    session_window: windows merge while events keep arriving within the
+    gap, the engine's dynamic-window state op.  Boundary semantics
+    (empirically pinned in tests/test_streaming.py): an event EXACTLY
+    ``gap`` after the previous one still MERGES — the merge bound is
+    inclusive — so sessions break only when the silence strictly exceeds
+    the gap, the SAME semantics as the batch operator in
+    tda/sessionize.py.
 
     Output: (user_id, n_events, start_ts, end_ts) per session — start/end
     are the observed min/max event times (the window itself ends gap after

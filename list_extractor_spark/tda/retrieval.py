@@ -47,6 +47,21 @@ def _tokens(documents: DataFrame) -> DataFrame:
     )
 
 
+def _tf_table(documents: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) aggregated ONCE and lazily localCheckpoint'd: the
+    table feeds both per-doc scoring and the corpus-level term aggregates,
+    and without the checkpoint Catalyst prunes the consumers differently and
+    re-runs the corpus scan + explode for each (verified in the physical
+    plan; same single-materialization discipline as
+    tda/dedup.near_dup_resolve's pair table)."""
+    return (
+        _tokens(documents)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def term_stats(documents: DataFrame) -> DataFrame:
     """Corpus term statistics: (term, df_docs, cf) — document frequency and
     collection frequency.  One shuffle on term with map-side partial aggs;
@@ -64,21 +79,11 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     over (rounded score desc, term asc) so ties and cross-engine ordering are
     deterministic.  Output: (doc_id, term, tf, df_docs, score, term_rank).
 
-    Plan: the (doc_id, term) tf table aggregates once and is lazily
-    localCheckpoint'd — it feeds BOTH the scored rows and the df aggregate,
-    and without the checkpoint Catalyst prunes the two branches differently
-    and re-runs the corpus scan + explode per consumer (verified in the
-    physical plan; same single-materialization discipline as
-    tda/dedup.near_dup_resolve's pair table).  df is then a plain count(*)
-    over tf (exactly one row per (doc, term)), joined back on term through
-    the size-gated broadcast probe; N arrives as a 1-row cross join
-    (broadcast by Catalyst)."""
-    tf = (
-        _tokens(documents)
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    Plan: the shared _tf_table materializes the (doc_id, term) aggregate
+    once; df is then a plain count(*) over it (exactly one row per
+    (doc, term)), joined back on term through the size-gated broadcast
+    probe; N arrives as a 1-row cross join (broadcast by Catalyst)."""
+    tf = _tf_table(documents)
     df_t = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
     n_docs = documents.groupBy().agg(F.count("*").alias("_n_docs"))
     scored = (
@@ -191,16 +196,11 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     Determinism: the per-(doc, term) partial rounds to 12 decimals and sums
     as DECIMAL(28,12) — exact and order-independent, the same discipline as
     bm25_search/pagerank; the one division and final round happen on the
-    decimal total.  Plan: the tf table materializes once (lazy checkpoint)
-    and feeds both the per-term corpus frequency (one reused aggregation
-    tree) and the scored rows; cf joins back through the size-gated
-    broadcast probe; total_tokens is a 1-row broadcast."""
-    tf = (
-        _tokens(documents)
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    decimal total.  Plan: the shared _tf_table materializes once and feeds
+    both the per-term corpus frequency and the scored rows; cf joins back
+    through the size-gated broadcast probe; total_tokens is a 1-row
+    broadcast."""
+    tf = _tf_table(documents)
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     total = cf.groupBy().agg(F.sum("cf").alias("_total"))
     partial = (

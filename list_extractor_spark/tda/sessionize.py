@@ -34,6 +34,12 @@ def sessionize(
     end_ts).  session_idx is 1-based per user in time order; a new session
     starts when the silence since the previous event EXCEEDS gap_sec
     (strictly greater, so a gap of exactly gap_sec stays in-session)."""
+    if int(gap_sec) != gap_sec or int(gap_sec) < 1:
+        raise ValueError(
+            f"sessionize: gap_sec must be a positive whole number of "
+            f"seconds, got {gap_sec!r} (an INTERVAL n SECOND literal would "
+            f"silently truncate a fractional gap)"
+        )
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev = F.lag(F.col(ts_col)).over(w)
     gap = F.expr(f"INTERVAL {int(gap_sec)} SECOND")

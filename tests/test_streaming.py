@@ -349,3 +349,36 @@ def test_stream_sessionize_equals_batch_session_window(spark, tmp_path):
     assert got == want and len(got) > len(
         events.select("user_id").distinct().collect()
     )  # real multi-session users, not one session per user
+
+
+def test_session_window_exact_gap_merges_like_batch(spark):
+    """Pin the gap-boundary semantics empirically: an event EXACTLY gap
+    seconds after its predecessor MERGES under session_window (the merge
+    bound is inclusive — this test originally asserted a split and Spark
+    proved it wrong), matching the batch operator's strictly-greater break.
+    The contract fixtures contain no exact-gap events, so without this case
+    the stream oracle's boundary choice is vacuously untested; a Spark
+    upgrade flipping the inclusivity must fail here, not in a driver
+    hash."""
+    from datetime import datetime
+
+    from list_extractor_spark.streaming.stream_extract import session_event_rollup
+    from list_extractor_spark.tda.sessionize import sessionize
+
+    events = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 0), 10), (1, datetime(2026, 1, 1, 8), 11)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    stream_form = session_event_rollup(events, gap="8 hours").collect()
+    assert len(stream_form) == 1  # exact 8h gap MERGES under session_window
+    assert stream_form[0]["n_events"] == 2
+    batch_form = sessionize(events, gap_sec=28800).collect()
+    assert len(batch_form) == 1  # strictly-greater keeps it in-session too
+    assert batch_form[0]["n_events"] == 2
+    # one second past the gap splits BOTH forms
+    beyond = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 0), 10), (1, datetime(2026, 1, 1, 8, 0, 1), 11)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    assert len(session_event_rollup(beyond, gap="8 hours").collect()) == 2
+    assert len(sessionize(beyond, gap_sec=28800).collect()) == 2
