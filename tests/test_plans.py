@@ -483,3 +483,29 @@ def test_near_dup_resolve_evaluates_upstream_pairs_once(spark):
     # one checkpoint evaluation of 12 rows (speculation margin 2x);
     # anything larger means a consumer is re-running the upstream plan
     assert acc.value <= 24, acc.value
+
+
+def test_tfidf_idf_join_degrades_to_shuffle_past_threshold(spark):
+    """The tf->idf join is size-gated like the flagship snapshot joins: a
+    raw-crawl vocabulary (billions of distinct terms) must not ride a
+    broadcast build side.  With the budget dropped to 1 byte the join must
+    plan without BroadcastHashJoin — and produce identical rows."""
+    from list_extractor_spark.tda.retrieval import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [("a", "cat cat dog fish"), ("b", "dog fish heron"), ("c", "cat heron")],
+        "doc_id string, text string",
+    )
+    want = sorted(map(tuple, tfidf_top_terms(docs, k=2).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        out = tfidf_top_terms(docs, k=2)
+        plan = _plan(out)
+        # the deliberate 1-row N broadcast (IdentityBroadcastMode nested
+        # loop) survives; the vocabulary join must not be a broadcast HASH
+        assert "BroadcastHashJoin" not in plan, plan
+        got = sorted(map(tuple, out.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want and got
