@@ -103,13 +103,18 @@ def pagerank(
     if iters < 1:
         raise ValueError("pagerank: iters must be >= 1")
     edges = entity_edges(triples).localCheckpoint(eager=False)
+    # nodes and out_deg are re-joined EVERY iteration: checkpoint both so
+    # the distinct/agg shuffles run once, not once per iteration
     nodes = (
         edges.select(F.col("src").alias("entity"))
         .union(edges.select(F.col("dst").alias("entity")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    out_deg = edges.groupBy(F.col("src").alias("entity")).agg(
-        F.count("*").alias("out_deg")
+    out_deg = (
+        edges.groupBy(F.col("src").alias("entity"))
+        .agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=False)
     )
     base = F.lit(1.0 - damping)
     ranks = nodes.select("entity", F.lit(1.0).alias("rank"))
