@@ -693,6 +693,57 @@ def _text_repetition(spark, sf_dir):
     )
 
 
+def _text_dsir_score(spark, sf_dir):
+    """DSIR importance weights (tda/retrieval.dsir_logweights): hashed
+    unigram+bigram features (portable md5 buckets), Laplace-smoothed
+    target-vs-raw log-ratio, decimal-summed partials.  Target domain =
+    source 'src0' — the standard raw-crawl-toward-target resampling score
+    (Xie et al. 2023)."""
+    from list_extractor_spark.tda.retrieval import dsir_logweights
+
+    return dsir_logweights(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "text",
+            "source",
+        ),
+        is_target=F.col("source") == "src0",
+        n_buckets=4096,
+    )
+
+
+# PII planted deterministically from doc_id (the sf corpus is synthetic word
+# soup with no natural PII — an unplanted redaction query would grade an
+# identity transform, the sim_near_dup empty-oracle lesson).  The oracle
+# builds the IDENTICAL string; categories vary per doc so counts are
+# non-constant.
+_PII_PLANT_EXPR = (
+    "concat(text,"
+    " ' contact user', cast(doc_id as string), '@mail.example.com',"
+    " case when doc_id % 3 = 0 then concat(' call 555-',"
+    "   lpad(cast(doc_id % 1000 as string), 3, '0'), '-4321') else '' end,"
+    " case when doc_id % 4 = 0 then concat(' from 10.2.',"
+    "   cast(doc_id % 250 as string), '.33') else '' end,"
+    " case when doc_id % 5 = 0 then concat(' ssn 123-45-',"
+    "   lpad(cast(doc_id % 10000 as string), 4, '0')) else '' end)"
+)
+
+
+def _text_pii_redact(spark, sf_dir):
+    """PII redaction (tda/redact.redact_pii): email/SSN/phone/IPv4 masked to
+    typed tokens with per-category audit counts — all codegen regexp
+    expressions, zero shuffle, zero Python."""
+    from list_extractor_spark.tda.redact import redact_pii
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(_PII_PLANT_EXPR).alias("text"),
+    )
+    return redact_pii(docs).select(
+        "doc_id", "text", "n_email", "n_ssn", "n_phone", "n_ipv4", "n_pii"
+    )
+
+
 def _text_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (tda/sampling.chunk_documents):
     128-token windows, 16-token overlap — fully narrow, no shuffle."""
@@ -1212,9 +1263,10 @@ def _media_frames(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Grading-order note (the driver grades the FIRST 50 dict entries, the
-    # contract now holds 75): r6 ROTATES the order so the 11 queries shadowed
+    # contract now holds 77): r6 ROTATES the order so the 11 queries shadowed
     # in r5 (sim_* ANN + media_*) and the new composites/retrieval/graph/
-    # sessionize/quantile/stream-session/LM-score queries get driver rows.
+    # sessionize/quantile/stream-session/LM-score/DSIR/PII queries get
+    # driver rows.
     # The shadow falls on 25 multi-round-stable entries (10 simple q_*
     # relational checks green since r2/r3, q_asof/range/hypertable green
     # r3-r5, text_lang_id/token_counts/quality, dedup_exact green r2-r5,
@@ -1255,8 +1307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline stages (span corpus synthesized per input_hint)
         "kg_candidates": _kg_candidates,
         "kg_parse_items": _kg_parse_items,
-        "kg_metrics": _kg_metrics,
-        "kg_accuracy": _kg_accuracy,
         "kg_canonical_map": _kg_canonical_map,
         "kg_spanified_triples": _kg_spanified_triples,
         # NEW this round: graph analytics over the materialized KG
@@ -1282,6 +1332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunk_documents": _text_chunk_documents,
         "text_line_filter": _text_line_filter,
         "text_top_ngrams": _text_top_ngrams,
+        # NEW (late r6): DSIR importance scoring + PII redaction
+        "text_dsir_score": _text_dsir_score,
+        "text_pii_redact": _text_pii_redact,
         # engine-native relational ops (SURVEY.md §2.7 distinctive rows)
         "q_profile_events": _q_profile_events,
         "q_profile_numeric": _q_profile_numeric,
@@ -1297,6 +1350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_fingerprint / dedup_simhash_pairs / text_winnow_fingerprint
         # — green r4+r5 on unchanged code — rotate out for the NEW
         # retrieval/repetition family)
+        # kg_metrics / kg_accuracy: green r3+r4+r5, their semantics also
+        # anchored by the golden-page gate + kg_pipeline — rotated out for
+        # the NEW text_dsir_score / text_pii_redact
+        "kg_metrics": _kg_metrics,
+        "kg_accuracy": _kg_accuracy,
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "text_winnow_fingerprint": _text_winnow_fingerprint,
@@ -1794,6 +1852,115 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(CAST(sum(lp) AS DOUBLE)
                          / CAST(sum(tf) AS BIGINT), 6) AS avg_logprob
             FROM p GROUP BY doc_id
+        """,
+        # DSIR: replays the identical feature hashing (16-bit md5 bucket %
+        # 4096 — the portable-hash idiom of text_hash_split), the identical
+        # Laplace-smoothed log-ratio, and the identical 12-dp-rounded
+        # DECIMAL(28,12) partial sum as tda/retrieval.dsir_logweights
+        "text_dsir_score": r"""
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (source = 'src0') AS is_tgt,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+              FROM documents
+            ), uni AS (
+              SELECT doc_id, is_tgt, ts[i] AS gram
+              FROM t, unnest(generate_series(1, len(ts))) AS u(i)
+            ), big AS (
+              SELECT doc_id, is_tgt, ts[i] || ' ' || ts[i+1] AS gram
+              FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+              WHERE len(ts) >= 2
+            ), g AS (
+              SELECT doc_id, is_tgt,
+                     ((strpos('0123456789abcdef', substr(md5(gram), 1, 1)) - 1) * 4096
+                    + (strpos('0123456789abcdef', substr(md5(gram), 2, 1)) - 1) * 256
+                    + (strpos('0123456789abcdef', substr(md5(gram), 3, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(md5(gram), 4, 1)) - 1)) % 4096
+                       AS bucket
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+            ), raw AS (
+              SELECT bucket, count(*) AS q_cnt FROM g GROUP BY 1
+            ), tgt AS (
+              SELECT bucket, count(*) AS p_cnt FROM g WHERE is_tgt GROUP BY 1
+            ), tot AS (
+              SELECT count(*) AS q_total,
+                     sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS p_total
+              FROM g
+            ), wts AS (
+              SELECT raw.bucket,
+                     ln((coalesce(tgt.p_cnt, 0) + 1) / (tot.p_total + 4096))
+                   - ln((raw.q_cnt + 1) / (tot.q_total + 4096)) AS lr
+              FROM raw LEFT JOIN tgt USING (bucket), tot
+            ), df AS (
+              SELECT doc_id, bucket, count(*) AS cnt FROM g GROUP BY 1, 2
+            ), p AS (
+              -- the engine sums round(lr, 12) as DECIMAL(28,12) once per
+              -- gram OCCURRENCE; cnt * the per-occurrence decimal is the
+              -- identical exact value
+              SELECT df.doc_id, df.cnt,
+                     CAST(round(wts.lr, 12) AS DECIMAL(28,12))
+                       * CAST(df.cnt AS DECIMAL(10,0)) AS lw
+              FROM df JOIN wts USING (bucket)
+            )
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+                   round(CAST(sum(lw) AS DOUBLE), 6) AS dsir_logweight
+            FROM p GROUP BY doc_id
+        """,
+        # PII redaction: the planted suffix mirrors _PII_PLANT_EXPR exactly;
+        # patterns are the Java-regex/RE2 intersection so both engines match
+        # the same spans; counts on the original text, replacements applied
+        # in the declared order (email -> ssn -> phone -> ipv4)
+        "text_pii_redact": r"""
+            WITH planted AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com'
+                          || CASE WHEN doc_id % 3 = 0
+                             THEN ' call 555-'
+                                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                  || '-4321' ELSE '' END
+                          || CASE WHEN doc_id % 4 = 0
+                             THEN ' from 10.2.'
+                                  || CAST(doc_id % 250 AS VARCHAR)
+                                  || '.33' ELSE '' END
+                          || CASE WHEN doc_id % 5 = 0
+                             THEN ' ssn 123-45-'
+                                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+                       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                     '<IP>', 'g') AS text,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text,
+                     '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT)
+                     AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                     AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                      + len(regexp_extract_all(text,
+                     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+                      + len(regexp_extract_all(text,
+                     '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+                      + len(regexp_extract_all(text,
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                     AS BIGINT) AS n_pii
+            FROM planted
         """,
         "text_repetition": r"""
             WITH t AS (

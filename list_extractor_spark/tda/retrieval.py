@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..engine.stats import maybe_broadcast
+from .sampling import _bucket16
 
 
 def _tokens(documents: DataFrame) -> DataFrame:
@@ -218,4 +219,123 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         F.round(
             F.sum("lp").cast("double") / F.sum("tf"), 6
         ).alias("avg_logprob"),
+    )
+
+
+def dsir_logweights(
+    documents: DataFrame,
+    is_target,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw-corpus document by how
+    target-domain-like its hashed n-gram profile is, so a pretraining pipeline
+    can resample the web crawl toward a quality/target distribution.
+
+    Features are unigrams + bigrams of the whitespace tokenizer, hashed into
+    ``n_buckets`` md5 buckets (md5, not the engine-native hash, for the same
+    reason as tda/sampling.hash_split: any engine — and the DuckDB oracle —
+    recomputes identical feature ids in plain SQL).  Two Laplace-smoothed
+    bag-of-buckets unigram distributions are fit — p over the rows where
+    ``is_target`` holds (the target domain), q over the whole corpus — and
+
+        log w(d) = sum_b  count_d(b) * ( ln((p_b+1)/(P+B)) - ln((q_b+1)/(Q+B)) )
+
+    where P/Q are total feature occurrences and B = n_buckets.  Documents with
+    positive log-weight look more like the target than the average raw doc.
+
+    Output: (doc_id, n_feats, dsir_logweight) — n_feats = total gram
+    occurrences, dsir_logweight rounded to 6 decimals.
+
+    Determinism: the per-bucket log-ratio is rounded to 12 decimals and each
+    gram OCCURRENCE contributes that value as DECIMAL(28,12) — the sum is
+    exact and order-independent across partitionings, the same discipline as
+    bm25_search / unigram_logprob / quantized PageRank (the oracle replays it
+    as cnt * round(lr, 12) in decimal arithmetic, which is identical).
+
+    Scale shape (the 100-TB story): tokenization + posexplode happen in the
+    scan task; the bigram lead() window is the ONE corpus-wide exchange.
+    The scoring side joins raw gram occurrences straight to the broadcast
+    weight table and aggregates per doc WITHOUT a (doc, bucket) intermediate
+    — the partial aggregation collapses each task's grams to one row per
+    document before its exchange ships anything (a per-(doc, bucket) count
+    table was measured to re-shuffle corpus-sized rows twice here, because a
+    localCheckpoint boundary under AQE does not preserve the window's
+    partitioning).  The gram table is lazily localCheckpoint'd so its three
+    consumers don't re-run the scan + window (same single-materialization
+    discipline as _tf_table); the two distribution fits aggregate to at most
+    ``n_buckets`` rows each with map-side partials, and the weight table is
+    broadcast UNCONDITIONALLY — it is bounded by construction (<= 2^16 rows),
+    which is the whole point of the hashing trick: corpus vocabulary grows
+    with the crawl, the feature space doesn't.
+    """
+    if not 1 <= n_buckets <= (1 << 16):
+        raise ValueError("dsir_logweights: n_buckets must be in [1, 65536]")
+    toks = documents.select(
+        "doc_id",
+        F.col(is_target).cast("boolean").alias("is_tgt")
+        if isinstance(is_target, str)
+        else is_target.cast("boolean").alias("is_tgt"),
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "pos", "term"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.withColumn("nxt", F.lead("term").over(w))
+    # unigram + bigram from ONE narrow Generate (F.concat is null when nxt
+    # is null -> the trailing token emits no bigram).  A unionAll of two
+    # branches would be the natural spelling, but Union reports
+    # UnknownPartitioning, which forfeits the window's doc_id exchange and
+    # makes BOTH doc-side aggregations below re-shuffle (measured in the
+    # physical plan); the Generate preserves it.
+    grams = (
+        seq.select(
+            "doc_id",
+            "is_tgt",
+            F.explode(
+                F.array("term", F.concat("term", F.lit(" "), "nxt"))
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .select(
+            "doc_id",
+            "is_tgt",
+            (_bucket16(F.col("gram")) % n_buckets).alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    raw = grams.groupBy("bucket").agg(F.count("*").alias("q_cnt"))
+    tgt = (
+        grams.filter("is_tgt")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("p_cnt"))
+    )
+    totals = grams.groupBy().agg(
+        F.count("*").alias("_q_total"),
+        F.sum(F.col("is_tgt").cast("long")).alias("_p_total"),
+    )
+    weights = (
+        raw.join(F.broadcast(tgt), "bucket", "left")
+        .withColumn("p_cnt", F.coalesce("p_cnt", F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            F.log(
+                (F.col("p_cnt") + 1) / (F.col("_p_total") + F.lit(n_buckets))
+            )
+            - F.log(
+                (F.col("q_cnt") + 1) / (F.col("_q_total") + F.lit(n_buckets))
+            ),
+        )
+        .select("bucket", "lr")
+    )
+    scored = grams.join(F.broadcast(weights), "bucket")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_feats"),
+        F.round(
+            F.sum(
+                F.round(F.col("lr"), 12).cast("decimal(28,12)")
+            ).cast("double"),
+            6,
+        ).alias("dsir_logweight"),
     )
