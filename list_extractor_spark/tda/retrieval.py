@@ -33,6 +33,10 @@ cannot reorder rows that the rounding has already made equal).
 
 from __future__ import annotations
 
+import hashlib
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..engine.stats import maybe_broadcast
@@ -222,10 +226,78 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _java_ws_tokens(text: str) -> list[str]:
+    """Replica of ``split(lower(trim(text)), '\\s+')`` under Spark SQL
+    semantics: trim strips 0x20 only, ``\\s`` is the ASCII class, and split
+    uses Java ``split(regex, -1)`` — leading AND trailing empty strings are
+    KEPT (empirically pinned: 'trailing tab\\t' tokenizes to
+    ['trailing', 'tab', ''], and '' to ['']).  re.split matches exactly.
+    Bit-equality is test-pinned against the JVM strategy
+    (tests/test_redact_dsir.py) including the tab/multi-space/empty edges;
+    like every tokenizer replica in this repo, non-ASCII case folding is the
+    documented envelope (python .lower() vs UTF8String.toLowerCase)."""
+    return _JAVA_WS.split(text.strip(" ").lower())
+
+
+def _gram_bucket_counts(text: str, n_buckets: int) -> dict[int, int]:
+    """Per-document {bucket: count} over unigrams + bigrams, md5-bucketed —
+    the python twin of the JVM strategy's _bucket16(gram) % n_buckets."""
+    md5 = hashlib.md5
+    counts: dict[int, int] = {}
+    prev = None
+    for t in _java_ws_tokens(text):
+        b = int(md5(t.encode("utf-8")).hexdigest()[:4], 16) % n_buckets
+        counts[b] = counts.get(b, 0) + 1
+        if prev is not None:
+            g = prev + " " + t
+            b2 = int(md5(g.encode("utf-8")).hexdigest()[:4], 16) % n_buckets
+            counts[b2] = counts.get(b2, 0) + 1
+        prev = t
+    return counts
+
+
+def _rhu(x: float, nd: int) -> Decimal:
+    """Spark round(double, nd) replica: BigDecimal.valueOf quantizes the
+    SHORTEST decimal repr, then HALF_UP (the JVM-pinned rule from
+    tests/test_graphstats)."""
+    return Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+    )
+
+
+def _dsir_weights(counts: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, lr) Laplace-smoothed log-ratio table from a
+    (bucket, q_cnt, p_cnt) distribution-count table (<= n_buckets rows).
+    Shared by both strategies so ln() always evaluates in the JVM — the
+    arrow strategy collects these rows rather than re-deriving lr in python
+    libm, keeping the two strategies bit-identical."""
+    totals = counts.groupBy().agg(
+        F.sum("q_cnt").alias("_q_total"),
+        F.sum("p_cnt").alias("_p_total"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            F.log(
+                (F.col("p_cnt") + 1) / (F.col("_p_total") + F.lit(n_buckets))
+            )
+            - F.log(
+                (F.col("q_cnt") + 1) / (F.col("_q_total") + F.lit(n_buckets))
+            ),
+        )
+        .select("bucket", "lr")
+    )
+
+
 def dsir_logweights(
     documents: DataFrame,
     is_target,
     n_buckets: int = 4096,
+    strategy: str = "arrow",
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for Language
     Models via Importance Resampling"): score every raw-corpus document by how
@@ -245,37 +317,52 @@ def dsir_logweights(
     positive log-weight look more like the target than the average raw doc.
 
     Output: (doc_id, n_feats, dsir_logweight) — n_feats = total gram
-    occurrences, dsir_logweight rounded to 6 decimals.
+    occurrences, dsir_logweight rounded to 6 decimals.  Documents with NULL
+    text produce no row (JVM split(NULL) explodes to nothing; the arrow pass
+    skips them to match).
 
     Determinism: the per-bucket log-ratio is rounded to 12 decimals and each
     gram OCCURRENCE contributes that value as DECIMAL(28,12) — the sum is
     exact and order-independent across partitionings, the same discipline as
     bm25_search / unigram_logprob / quantized PageRank (the oracle replays it
-    as cnt * round(lr, 12) in decimal arithmetic, which is identical).
+    as cnt * round(lr, 12) in decimal arithmetic, which is identical; the
+    arrow strategy uses the proven Decimal(repr(x)) HALF_UP replica on the
+    SAME JVM-computed lr doubles).
 
-    Scale shape (the 100-TB story): tokenization + posexplode happen in the
-    scan task; the bigram lead() window is the ONE corpus-wide exchange.
-    The scoring side joins raw gram occurrences straight to the broadcast
-    weight table and aggregates per doc WITHOUT a (doc, bucket) intermediate
-    — the partial aggregation collapses each task's grams to one row per
-    document before its exchange ships anything (a per-(doc, bucket) count
-    table was measured to re-shuffle corpus-sized rows twice here, because a
-    localCheckpoint boundary under AQE does not preserve the window's
-    partitioning).  The gram table is lazily localCheckpoint'd so its three
-    consumers don't re-run the scan + window (same single-materialization
-    discipline as _tf_table); the two distribution fits aggregate to at most
-    ``n_buckets`` rows each with map-side partials, and the weight table is
-    broadcast UNCONDITIONALLY — it is bounded by construction (<= 2^16 rows),
-    which is the whole point of the hashing trick: corpus vocabulary grows
-    with the crawl, the feature space doesn't.
+    strategy="arrow" (default; the 100-TB shape): TWO narrow mapInPandas
+    passes over the corpus and NOTHING corpus-sized ever shuffles or
+    materializes — the fit pass pre-aggregates each Arrow batch to at most
+    ``n_buckets`` (bucket, q, p) partial rows in python before the tiny
+    bucket-keyed exchange, and the score pass evaluates each document
+    against the collected weight table (<= 2^16 (bucket, lr) rows — bounded
+    by construction, which is the point of feature hashing) entirely inside
+    the scan task: ZERO exchanges, plan-tested.  Measured at 400k docs x 81
+    tokens (local[32]): 10.4 s vs 88 s for the jvm strategy — every jvm
+    variant pays for the 64M-row gram table somewhere (lazily checkpointing
+    it costs 38 s of materialization alone; NOT checkpointing re-runs the
+    window per consumer because branch attribute dedup defeats
+    ReuseExchange; both measured, BENCH/BASELINE.md).
+
+    strategy="jvm": all-relational form — posexplode + lead() window builds
+    the gram table (ONE corpus-wide doc_id exchange), a single bucket-keyed
+    aggregation fits both distributions, and the scoring side joins raw gram
+    occurrences to the unconditionally-broadcast weight table with map-side
+    partial aggregation per doc.  Kept for oracle-shaped auditing and as the
+    no-python fallback; bit-identical to arrow (test-pinned).
     """
     if not 1 <= n_buckets <= (1 << 16):
         raise ValueError("dsir_logweights: n_buckets must be in [1, 65536]")
-    toks = documents.select(
+    if strategy not in ("arrow", "jvm"):
+        raise ValueError(f"dsir_logweights: unknown strategy {strategy!r}")
+    tgt_col = (
+        F.col(is_target) if isinstance(is_target, str) else is_target
+    ).cast("boolean")
+    docs = documents.select("doc_id", tgt_col.alias("is_tgt"), "text")
+    if strategy == "arrow":
+        return _dsir_arrow(docs, n_buckets)
+    toks = docs.select(
         "doc_id",
-        F.col(is_target).cast("boolean").alias("is_tgt")
-        if isinstance(is_target, str)
-        else is_target.cast("boolean").alias("is_tgt"),
+        "is_tgt",
         F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
             "pos", "term"
         ),
@@ -304,32 +391,14 @@ def dsir_logweights(
         )
         .localCheckpoint(eager=False)
     )
-    raw = grams.groupBy("bucket").agg(F.count("*").alias("q_cnt"))
-    tgt = (
-        grams.filter("is_tgt")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("p_cnt"))
-    )
-    totals = grams.groupBy().agg(
-        F.count("*").alias("_q_total"),
-        F.sum(F.col("is_tgt").cast("long")).alias("_p_total"),
-    )
-    weights = (
-        raw.join(F.broadcast(tgt), "bucket", "left")
-        .withColumn("p_cnt", F.coalesce("p_cnt", F.lit(0)))
-        .crossJoin(F.broadcast(totals))
-        .withColumn(
-            "lr",
-            F.log(
-                (F.col("p_cnt") + 1) / (F.col("_p_total") + F.lit(n_buckets))
-            )
-            - F.log(
-                (F.col("q_cnt") + 1) / (F.col("_q_total") + F.lit(n_buckets))
-            ),
-        )
-        .select("bucket", "lr")
-    )
-    scored = grams.join(F.broadcast(weights), "bucket")
+    # ONE corpus pass fits BOTH distributions (count(*) = raw, sum(is_tgt)
+    # = target) and the totals then aggregate the <= n_buckets-row result —
+    # separate raw/tgt/totals scans would read the gram table three times
+    counts = grams.groupBy("bucket").agg(
+        F.count("*").alias("q_cnt"),
+        F.sum(F.col("is_tgt").cast("long")).alias("p_cnt"),
+    ).localCheckpoint(eager=False)
+    scored = grams.join(F.broadcast(_dsir_weights(counts, n_buckets)), "bucket")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_feats"),
         F.round(
@@ -339,3 +408,88 @@ def dsir_logweights(
             6,
         ).alias("dsir_logweight"),
     )
+
+
+def _dsir_arrow(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """Two-narrow-pass DSIR (see dsir_logweights docstring)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def fit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            q: dict[int, int] = {}
+            p: dict[int, int] = {}
+            for text, tgt in zip(pdf["text"], pdf["is_tgt"]):
+                if text is None:
+                    continue
+                for b, c in _gram_bucket_counts(text, n_buckets).items():
+                    q[b] = q.get(b, 0) + c
+                    if tgt:
+                        p[b] = p.get(b, 0) + c
+            if not q:
+                continue  # empty yields break Arrow schema inference
+            buckets = list(q)
+            yield pd.DataFrame(
+                {
+                    "bucket": pd.Series(buckets, dtype="int32"),
+                    "q_cnt": pd.Series([q[b] for b in buckets], dtype="int64"),
+                    "p_cnt": pd.Series(
+                        [p.get(b, 0) for b in buckets], dtype="int64"
+                    ),
+                }
+            )
+
+    partial = docs.mapInPandas(fit, "bucket int, q_cnt long, p_cnt long")
+    counts = partial.groupBy("bucket").agg(
+        F.sum("q_cnt").alias("q_cnt"), F.sum("p_cnt").alias("p_cnt")
+    )
+    # bounded collect BY CONSTRUCTION (<= n_buckets <= 2^16 rows) — the same
+    # class as the IVF centroid collect; lr doubles come from the shared JVM
+    # expression so both strategies round the identical values
+    lw = {
+        row["bucket"]: _rhu(row["lr"], 12)
+        for row in _dsir_weights(counts, n_buckets).collect()
+    }
+
+    out_schema = StructType(
+        [
+            docs.schema["doc_id"],
+            StructField("n_feats", LongType(), False),
+            StructField("dsir_logweight", DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, feats, scores = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                counts_d = _gram_bucket_counts(text, n_buckets)
+                acc = Decimal(0)
+                n = 0
+                for b, c in counts_d.items():
+                    n += c
+                    acc += c * lw[b]  # KeyError = tokenizer drift, fail loud
+                ids.append(doc_id)
+                feats.append(n)
+                scores.append(float(_rhu(float(acc), 6)))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_feats": pd.Series(feats, dtype="int64"),
+                    "dsir_logweight": pd.Series(scores, dtype="float64"),
+                }
+            )
+
+    return docs.mapInPandas(score, out_schema)

@@ -144,6 +144,76 @@ class TestDSIR:
         expected = _py_dsir(DSIR_DOCS, {"t1", "t2"}, 512)
         assert scored == expected
 
+    def test_jvm_strategy_matches_replica_too(self, spark):
+        df = spark.createDataFrame(
+            [(k, v, k.startswith("t")) for k, v in DSIR_DOCS.items()],
+            "doc_id string, text string, is_tgt boolean",
+        )
+        rows = dsir_logweights(
+            df, F.col("is_tgt"), n_buckets=512, strategy="jvm"
+        ).collect()
+        got = {r.doc_id: (r.n_feats, r.dsir_logweight) for r in rows}
+        assert got == _py_dsir(DSIR_DOCS, {"t1", "t2"}, 512)
+
+    def test_arrow_equals_jvm_on_whitespace_edges(self, spark):
+        # the arrow tokenizer replica must reproduce JVM
+        # split(lower(trim(text)), '\s+') semantics exactly: trim strips
+        # 0x20 only, leading tab keeps the empty first token, trailing
+        # separators drop, empty text tokenizes to [''], runs collapse
+        docs = [
+            ("a", "Plain Words Here", True),
+            ("b", "  padded  with   runs  ", False),
+            ("c", "\tleading tab", False),
+            ("d", "trailing tab\t", True),
+            ("e", "", False),
+            ("f", "   ", True),
+            ("g", "one", False),
+            ("h", "A\tB\nC\fD\x0bE\rF", False),
+            ("i", "MiXeD CaSe MiXeD CaSe", True),
+        ]
+        df = spark.createDataFrame(
+            docs, "doc_id string, text string, is_tgt boolean"
+        )
+        key = lambda r: r.doc_id  # noqa: E731
+        arrow = sorted(
+            dsir_logweights(df, F.col("is_tgt"), n_buckets=64).collect(),
+            key=key,
+        )
+        jvm = sorted(
+            dsir_logweights(
+                df, F.col("is_tgt"), n_buckets=64, strategy="jvm"
+            ).collect(),
+            key=key,
+        )
+        assert arrow == jvm
+        assert len(arrow) == len(docs)
+
+    def test_null_text_drops_doc_both_strategies(self, spark):
+        df = spark.createDataFrame(
+            [("a", "some text", True), ("b", None, False)],
+            "doc_id string, text string, is_tgt boolean",
+        )
+        for strat in ("arrow", "jvm"):
+            got = dsir_logweights(
+                df, F.col("is_tgt"), n_buckets=64, strategy=strat
+            ).collect()
+            assert [r.doc_id for r in got] == ["a"], strat
+
+    def test_arrow_score_pass_has_zero_exchanges(self, spark):
+        # the 100-TB claim: nothing corpus-sized ever shuffles — the score
+        # pass is mapInPandas straight over the scan
+        df = spark.createDataFrame(
+            [(k, v, k.startswith("t")) for k, v in DSIR_DOCS.items()],
+            "doc_id string, text string, is_tgt boolean",
+        )
+        plan = (
+            dsir_logweights(df, F.col("is_tgt"), n_buckets=512)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+
     def test_target_docs_score_higher(self, scored):
         # target cohort strictly above every raw-only doc (log-weights are
         # unnormalized per-doc sums, faithful to the paper — so the mixed
@@ -184,9 +254,9 @@ class TestDSIR:
         with pytest.raises(ValueError):
             dsir_logweights(df, F.col("is_tgt"), n_buckets=1 << 17)
 
-    def test_scoring_side_plan_shape(self, spark):
-        # the post-checkpoint scoring plan must aggregate raw gram
-        # occurrences per doc in ONE exchange whose input is already
+    def test_jvm_scoring_side_plan_shape(self, spark):
+        # the jvm strategy's post-checkpoint scoring plan must aggregate raw
+        # gram occurrences per doc in ONE exchange whose input is already
         # partially aggregated (one row per doc per task) — no
         # (doc_id, bucket) intermediate shuffle — and the weight join must
         # be a broadcast, never a shuffle join
@@ -195,7 +265,7 @@ class TestDSIR:
             "doc_id string, text string, is_tgt boolean",
         )
         plan = (
-            dsir_logweights(df, F.col("is_tgt"), n_buckets=512)
+            dsir_logweights(df, F.col("is_tgt"), n_buckets=512, strategy="jvm")
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
