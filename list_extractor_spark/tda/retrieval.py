@@ -410,6 +410,63 @@ def dsir_logweights(
     )
 
 
+def dsir_resample(
+    documents: DataFrame,
+    is_target,
+    n_keep: int,
+    n_buckets: int = 4096,
+    temperature: float = 1.0,
+    strategy: str = "arrow",
+) -> DataFrame:
+    """DSIR's selection step: resample ``n_keep`` documents with probability
+    proportional to exp(dsir_logweight / temperature) via the Gumbel-top-k
+    trick (Kool et al. 2019) — sampling WITHOUT replacement reduces to a
+    top-k over  key = logweight/T + G  where G is standard Gumbel noise.
+
+    The noise is DETERMINISTIC and content-keyed, like every sampling
+    decision in this engine (tda/sampling.hash_split): u is a 32-bit md5
+    slice of doc_id mapped into (0,1), G = -ln(-ln(u)) — any engine (and the
+    DuckDB oracle) recomputes the identical draw, re-runs and re-shards
+    can't change the selected set, and raising temperature smoothly moves
+    the selection from exploit (top weights) toward uniform.
+
+    Output: (doc_id, dsir_logweight, gumbel_key) — the selected docs,
+    gumbel_key rounded to 6 decimals, ordered (gumbel_key desc, doc_id asc)
+    with the rounded-key-then-id tiebreak making cross-engine order exact.
+
+    Scale: the scoring pass is dsir_logweights (see its docstring); the
+    selection itself is a TakeOrdered over one row per document — never a
+    global sort.  At fixed selection RATE (vs fixed n_keep) prefer filtering
+    on a key threshold learned from a quantile sketch instead; top-k with
+    n_keep in the billions would funnel through the driver."""
+    if n_keep < 1:
+        raise ValueError("dsir_resample: n_keep must be >= 1")
+    if temperature <= 0:
+        raise ValueError("dsir_resample: temperature must be > 0")
+    scored = dsir_logweights(
+        documents, is_target, n_buckets=n_buckets, strategy=strategy
+    )
+    hx = F.md5(F.col("doc_id").cast("string"))
+    digit = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(hx, i, 1)) - 1
+    )
+    # long arithmetic: digit * 16^7 overflows int32 under ANSI mode
+    h32 = sum(
+        digit(i + 1).cast("long") * F.lit(16 ** (7 - i)).cast("long")
+        for i in range(8)
+    )
+    u = (h32 + F.lit(0.5)) / F.lit(float(1 << 32))
+    gumbel = -F.log(-F.log(u))
+    key = F.round(
+        F.col("dsir_logweight") / F.lit(float(temperature)) + gumbel, 6
+    ).alias("gumbel_key")
+    return (
+        scored.select("doc_id", "dsir_logweight", key)
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(n_keep)
+    )
+
+
 def _dsir_arrow(docs: DataFrame, n_buckets: int) -> DataFrame:
     """Two-narrow-pass DSIR (see dsir_logweights docstring)."""
     from pyspark.sql.types import (

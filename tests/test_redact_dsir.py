@@ -247,6 +247,52 @@ class TestDSIR:
         }
         assert a == b
 
+    def test_resample_matches_python_replica(self, spark):
+        from list_extractor_spark.tda.retrieval import dsir_resample
+
+        df = spark.createDataFrame(
+            [(k, v, k.startswith("t")) for k, v in DSIR_DOCS.items()],
+            "doc_id string, text string, is_tgt boolean",
+        )
+        got = [
+            (r.doc_id, r.dsir_logweight, r.gumbel_key)
+            for r in dsir_resample(
+                df, F.col("is_tgt"), n_keep=3, n_buckets=512
+            ).collect()
+        ]
+
+        def rhu(x, nd):
+            return Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+            )
+
+        scored = _py_dsir(DSIR_DOCS, {"t1", "t2"}, 512)
+        keyed = []
+        for d, (_, lw) in scored.items():
+            h32 = int(hashlib.md5(d.encode()).hexdigest()[:8], 16)
+            u = (h32 + 0.5) / float(1 << 32)
+            key = float(rhu(lw / 1.0 + -math.log(-math.log(u)), 6))
+            keyed.append((d, lw, key))
+        keyed.sort(key=lambda t: (-t[2], t[0]))
+        assert got == keyed[:3]
+
+    def test_resample_deterministic_and_validated(self, spark):
+        from list_extractor_spark.tda.retrieval import dsir_resample
+
+        df = spark.createDataFrame(
+            [(k, v, k.startswith("t")) for k, v in DSIR_DOCS.items()],
+            "doc_id string, text string, is_tgt boolean",
+        )
+        a = dsir_resample(df, F.col("is_tgt"), n_keep=2, n_buckets=512)
+        b = dsir_resample(
+            df.repartition(5), F.col("is_tgt"), n_keep=2, n_buckets=512
+        )
+        assert a.collect() == b.collect()
+        with pytest.raises(ValueError):
+            dsir_resample(df, F.col("is_tgt"), n_keep=0)
+        with pytest.raises(ValueError):
+            dsir_resample(df, F.col("is_tgt"), n_keep=1, temperature=0.0)
+
     def test_n_buckets_validated(self, spark):
         df = spark.createDataFrame(
             [("d", "x", True)], "doc_id string, text string, is_tgt boolean"
