@@ -92,6 +92,20 @@ def _kg_pagerank(spark, sf_dir):
     )
 
 
+def _kg_components(spark, sf_dir):
+    """Connected components of the entity graph
+    (engine/graphstats.connected_components): the connectivity leg of the
+    post-materialize QA trio, reusing the dedup resolver's size-adaptive CC.
+    VALUES oracle from the union-find replica (kg_components_rows); the
+    fixture graph is non-trivial — 21 components, giant component 717 of
+    787 nodes."""
+    from list_extractor_spark.engine.graphstats import connected_components
+
+    return connected_components(
+        run_pipeline(spark, _fixture_documents(spark), make_snapshots())
+    )
+
+
 def _kg_candidates(spark, sf_dir):
     from list_extractor_spark.engine.extract import extract_candidates
 
@@ -1391,12 +1405,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW this round: graph analytics over the materialized KG
         "kg_degree_stats": _kg_degree_stats,
         "kg_pagerank": _kg_pagerank,
+        "kg_components": _kg_components,
         # training-data ops
         "dedup_shingle_jaccard": _dedup_shingle_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_resolve_minhash": _dedup_resolve_minhash,
         "dedup_corpus_minhash": _dedup_corpus_minhash,
-        "dedup_simhash": _dedup_simhash,
         # NEW this round: exact-substring span dedup (Lee et al. 2022)
         "dedup_span_windows": _dedup_span_windows,
         "dedup_span_removal": _dedup_span_removal,
@@ -1435,9 +1449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # since r2), their semantics also anchored by the golden-page gate +
         # kg_pipeline — rotated out for the NEW text_dsir_score /
         # text_dsir_resample / text_pii_redact
+        # dedup_simhash: green r2-r5, its pair twin already shadowed —
+        # rotated out for the NEW kg_components
         "kg_metrics": _kg_metrics,
         "kg_accuracy": _kg_accuracy,
         "kg_canonical_map": _kg_canonical_map,
+        "dedup_simhash": _dedup_simhash,
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "text_winnow_fingerprint": _text_winnow_fingerprint,

@@ -1,5 +1,5 @@
-"""Graph analytics over the materialized triple table: degree statistics and
-PageRank.  The reference stops at emitting .ttl files (rdf_builder.py); a
+"""Graph analytics over the materialized triple table: degree statistics,
+PageRank, and connected components.  The reference stops at emitting .ttl files (rdf_builder.py); a
 KG-construction engine at dump scale also needs the standard post-materialize
 quality surface — hub detection, connectivity profile, entity importance —
 computed on the SAME DataFrame the sink writes, without exporting to a
@@ -142,3 +142,46 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("entity", F.col("rank").alias("pagerank"))
+
+
+def connected_components(
+    triples: DataFrame, driver_threshold: int = 100_000
+) -> DataFrame:
+    """Connected components of the entity graph (edges treated undirected):
+    the third leg of the post-materialize QA trio (degree profile, PageRank,
+    connectivity) — how many islands the KG splits into, and how big the
+    giant component is, without exporting to a separate graph system.
+
+    Output: (entity, component_id, component_size) for every node of the
+    entity graph; component_id = the component's minimum entity IRI, the
+    same labeling rule as the canonicalization CC (engine/canonicalize) and
+    the dedup resolver (tda/dedup.near_dup_resolve), whose size-adaptive
+    machinery this reuses directly: edge lists up to ``driver_threshold``
+    rows resolve with the exact pure-Python union-find in one bounded
+    collect; past it the distributed min-label-propagation +
+    pointer-doubling loop runs (O(log d) rounds, two equi-joins per round,
+    localCheckpoint-truncated lineage).
+
+    Scale shape: sizes come from one count aggregation (map-side combined —
+    a web-scale giant component is ONE group whose partial counts merge,
+    never one task's rows) joined back size-gated; parallel edges and
+    self-loops collapse inside the union-find, so multigraph triple tables
+    need no pre-distinct."""
+    from ..engine.stats import maybe_broadcast
+    from ..tda.dedup import near_dup_resolve
+
+    members = near_dup_resolve(
+        entity_edges(triples).select(
+            F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+        ),
+        driver_threshold=driver_threshold,
+    ).select(
+        F.col("doc_id").alias("entity"),
+        F.col("cluster_id").alias("component_id"),
+    )
+    sizes = members.groupBy("component_id").agg(
+        F.count("*").alias("component_size")
+    )
+    return members.join(maybe_broadcast(sizes), "component_id").select(
+        "entity", "component_id", "component_size"
+    )

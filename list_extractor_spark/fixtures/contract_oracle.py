@@ -288,6 +288,21 @@ def kg_pagerank_rows(iters: int = 5, damping: float = 0.85):
     return [(n, rank[n]) for n in nodes]
 
 
+def kg_components_rows():
+    """engine/graphstats.connected_components replica: union-find over the
+    undirected entity edges (core/components — the same semantics twin the
+    dedup resolver grades against), component_id = min entity IRI, size =
+    member count."""
+    from collections import Counter
+
+    from ..core.components import components
+
+    edges = [(s, o) for (s, _p, o, dt) in _oracle_triple_list() if dt is None]
+    comp = components(edges)
+    sizes = Counter(comp.values())
+    return sorted((e, c, sizes[c]) for e, c in comp.items())
+
+
 def kg_canonical_map_rows():
     snaps = make_snapshots()
     cmap = canonical_map(build_edges(snaps["redirects"], snaps["sameas"]))
@@ -1013,6 +1028,11 @@ def kg_oracle_sql(sf_dir: str) -> dict[str, str]:
         "kg_pagerank": values_sql(
             kg_pagerank_rows(),
             [("entity", "VARCHAR"), ("pagerank", "DOUBLE")],
+        ),
+        "kg_components": values_sql(
+            kg_components_rows(),
+            [("entity", "VARCHAR"), ("component_id", "VARCHAR"),
+             ("component_size", "BIGINT")],
         ),
         "kg_candidates": values_sql(
             kg_candidates_rows(),

@@ -104,3 +104,62 @@ def test_decimal15_cast_replica_matches_jvm(spark):
     # and the known midpoint case really is a midpoint that diverges
     x = 0.150001 / 1024
     assert _dec15(x) != Decimal(x).quantize(Decimal("1e-15"))
+
+
+class TestConnectedComponents:
+    def test_hand_values(self, spark, triples):
+        from list_extractor_spark.engine.graphstats import connected_components
+
+        rows = {
+            r["entity"]: (r["component_id"], r["component_size"])
+            for r in connected_components(triples).collect()
+        }
+        # entity graph: A-B, A-C, B-C one component; literal-only D absent
+        assert rows == {"A": ("A", 3), "B": ("A", 3), "C": ("A", 3)}
+
+    def test_two_islands_and_multigraph_collapse(self, spark):
+        from list_extractor_spark.engine.graphstats import connected_components
+
+        t = spark.createDataFrame(
+            [
+                ("A", "p1", "B", None),
+                ("A", "p2", "B", None),  # parallel edge
+                ("B", "p1", "B", None),  # self loop
+                ("X", "p1", "Y", None),
+                ("Y", "p1", "Z", None),
+            ],
+            SCHEMA,
+        )
+        rows = {
+            r["entity"]: (r["component_id"], r["component_size"])
+            for r in connected_components(t).collect()
+        }
+        assert rows == {
+            "A": ("A", 2), "B": ("A", 2),
+            "X": ("X", 3), "Y": ("X", 3), "Z": ("X", 3),
+        }
+
+    def test_distributed_path_matches_fast_path(self, spark):
+        """driver_threshold=0 forces the min-label-propagation loop; results
+        must equal the union-find fast path on the fixture KG (21
+        components, giant of 717)."""
+        from list_extractor_spark.engine.graphstats import connected_components
+        from list_extractor_spark.engine.pipeline import run_pipeline
+        from list_extractor_spark.fixtures.contract_oracle import _fixture_docs
+        from list_extractor_spark.engine.schemas import DOCUMENTS_SCHEMA
+        from list_extractor_spark.fixtures import corpus_to_rows, make_snapshots
+
+        docs = spark.createDataFrame(
+            corpus_to_rows(_fixture_docs()), schema=DOCUMENTS_SCHEMA
+        )
+        triples = run_pipeline(spark, docs, make_snapshots()).localCheckpoint()
+        fast = sorted(map(tuple, connected_components(triples).collect()))
+        dist = sorted(
+            map(
+                tuple,
+                connected_components(triples, driver_threshold=0).collect(),
+            )
+        )
+        assert fast == dist
+        sizes = {c: s for _, c, s in fast}
+        assert max(sizes.values()) == 717 and len(sizes) == 21
