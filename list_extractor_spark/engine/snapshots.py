@@ -56,6 +56,88 @@ def _load_manifest(path: str, snapshot_id: int) -> dict:
         return json.load(f)
 
 
+def _write_data_files(
+    spark: SparkSession,
+    bucketed: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+) -> list[dict]:
+    """Write a pred_bucket-carrying frame under a fresh ``data/commit-*/``
+    dir and return its manifest file entries.
+
+    Per-file stats come from what actually committed, in ONE metadata-only
+    job (grouping by input_file_name — a count-per-file driver loop would
+    be one Spark job per file, unusable past a few hundred files).  A
+    zero-row write commits only _SUCCESS (no parquet footers), so probe
+    for data files first instead of letting the schema-less read throw."""
+    import glob as _glob
+    import urllib.parse
+
+    commit = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, "data", f"commit-{commit}")
+    writer = bucketed.write.mode("error")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("pred_bucket").parquet(data_dir)
+
+    has_files = bool(_glob.glob(os.path.join(data_dir, "pred_bucket=*", "*.parquet")))
+    if not has_files:
+        return []  # empty commit is a legal snapshot (e.g. a filtered run)
+    stats = (
+        spark.read.parquet(data_dir)
+        .groupBy("pred_bucket", F.input_file_name().alias("f"))
+        .count()
+        .collect()
+    )
+    return sorted(
+        (
+            {
+                # input_file_name is a file: URI — strip scheme, unquote,
+                # and normpath (file:///x would otherwise store ///x,
+                # breaking path-identity checks like verify_table)
+                "path": os.path.normpath(
+                    urllib.parse.unquote(r["f"].removeprefix("file:"))
+                ),
+                "pred_bucket": r["pred_bucket"],
+                "n_rows": r["count"],
+            }
+            for r in stats
+        ),
+        key=lambda d: d["path"],
+    )
+
+
+def _commit_manifest(path: str, files: list[dict], operation: str) -> int:
+    """Atomically commit ``files`` (the snapshot's FULL file set) as a new
+    manifest and flip ``current`` to it; returns the new snapshot id."""
+    parent = _current_snapshot_id(path)
+    # ids must be globally fresh, not parent+1: after a rollback the current
+    # pointer is an OLD snapshot, and parent+1 would silently clobber an
+    # existing manifest (breaking 'later snapshots stay readable')
+    existing = [m["snapshot_id"] for m in snapshot_history(path)] or [0]
+    snap_id = max(existing) + 1
+    manifest = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "ts": time.time(),
+        "operation": operation,
+        "files": files,
+        "total_rows": sum(f["n_rows"] for f in files),
+    }
+    meta = _meta_dir(path)
+    os.makedirs(meta, exist_ok=True)
+    nonce = uuid.uuid4().hex[:12]
+    tmp = os.path.join(meta, f".snap-{snap_id}.json.{nonce}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(meta, f"snap-{snap_id}.json"))
+    tmp = os.path.join(meta, f".current.{nonce}")
+    with open(tmp, "w") as f:
+        f.write(str(snap_id))
+    os.rename(tmp, os.path.join(meta, "current"))  # the commit point
+    return snap_id
+
+
 def write_graph_snapshot(
     triples: DataFrame, path: str, mode: str = "append"
 ) -> int:
@@ -69,74 +151,13 @@ def write_graph_snapshot(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = triples.sparkSession
-    commit = uuid.uuid4().hex[:12]
-    data_dir = os.path.join(path, "data", f"commit-{commit}")
     out = triples.withColumn("pred_bucket", F.pmod(F.hash("pred"), F.lit(N_BUCKETS)))
-    out.write.mode("error").partitionBy("pred_bucket").parquet(data_dir)
-
-    # per-file stats from what actually committed, ONE metadata-only job
-    # (grouping by input_file_name — a count-per-file driver loop would be
-    # one Spark job per file, unusable past a few hundred files).  A
-    # zero-row write commits only _SUCCESS (no parquet footers), so probe
-    # for data files first instead of letting the schema-less read throw.
-    import glob as _glob
-    import urllib.parse
-
-    has_files = bool(_glob.glob(os.path.join(data_dir, "pred_bucket=*", "*.parquet")))
-    if has_files:
-        stats = (
-            spark.read.parquet(data_dir)
-            .groupBy("pred_bucket", F.input_file_name().alias("f"))
-            .count()
-            .collect()
-        )
-        files = sorted(
-            (
-                {
-                    # input_file_name is a file: URI — strip scheme, unquote,
-                    # and normpath (file:///x would otherwise store ///x,
-                    # breaking path-identity checks like verify_table)
-                    "path": os.path.normpath(
-                        urllib.parse.unquote(r["f"].removeprefix("file:"))
-                    ),
-                    "pred_bucket": r["pred_bucket"],
-                    "n_rows": r["count"],
-                }
-                for r in stats
-            ),
-            key=lambda d: d["path"],
-        )
-    else:
-        files = []  # empty commit is a legal snapshot (e.g. a filtered run)
-
-    parent = _current_snapshot_id(path)
+    files = _write_data_files(spark, out, path)
     carried = []
+    parent = _current_snapshot_id(path)
     if mode == "append" and parent is not None:
         carried = _load_manifest(path, parent)["files"]
-    # ids must be globally fresh, not parent+1: after a rollback the current
-    # pointer is an OLD snapshot, and parent+1 would silently clobber an
-    # existing manifest (breaking 'later snapshots stay readable')
-    existing = [m["snapshot_id"] for m in snapshot_history(path)] or [0]
-    snap_id = max(existing) + 1
-    manifest = {
-        "snapshot_id": snap_id,
-        "parent_id": parent,
-        "ts": time.time(),
-        "operation": mode,
-        "files": carried + files,
-        "total_rows": sum(f["n_rows"] for f in carried + files),
-    }
-    meta = _meta_dir(path)
-    os.makedirs(meta, exist_ok=True)
-    tmp = os.path.join(meta, f".snap-{snap_id}.json.{commit}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, os.path.join(meta, f"snap-{snap_id}.json"))
-    tmp = os.path.join(meta, f".current.{commit}")
-    with open(tmp, "w") as f:
-        f.write(str(snap_id))
-    os.rename(tmp, os.path.join(meta, "current"))  # the commit point
-    return snap_id
+    return _commit_manifest(path, carried + files, operation=mode)
 
 
 def read_graph_at(
@@ -256,6 +277,80 @@ def rollback(path: str, snapshot_id: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(snapshot_id))
     os.rename(tmp, os.path.join(meta, "current"))
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_rows: int = 1_000_000,
+    min_input_files: int = 2,
+) -> int | None:
+    """Bin-pack small data files into ~``target_file_rows``-row files and
+    commit the rewrite as a new snapshot (Iceberg ``rewrite_data_files``
+    analog) — the maintenance operation that keeps per-run append
+    accumulation from degrading scan planning: at 10^5+ files the task
+    count, footer reads, and driver listing are all proportional to FILES,
+    not rows.
+
+    Per pred_bucket, files under ``target_file_rows`` rows are rewrite
+    candidates; a bucket rewrites only when it has >= ``min_input_files``
+    candidates (rewriting a lone small file is pure write amplification).
+    Full-size files and non-qualifying buckets carry over untouched — the
+    rewrite reads ONLY the small files, never the table.
+
+    Scale shape: every sizing decision comes from exact manifest row
+    counts, zero Spark jobs before the rewrite itself.  Each bucket's
+    candidates repartition into ceil(rows/target) shards via a content salt
+    (a hot bucket never funnels through one task), and maxRecordsPerFile
+    caps any residual hash-collision overfill.  Readers are never blocked:
+    prior snapshots keep referencing the old files (time travel intact)
+    until expire_snapshots reclaims them.
+
+    Returns the new snapshot id, or None when nothing qualifies (the
+    no-op MUST not commit — an empty compact every maintenance tick would
+    grow the log without bound)."""
+    if target_file_rows < 1:
+        raise ValueError("compact_table: target_file_rows must be >= 1")
+    if min_input_files < 2:
+        raise ValueError("compact_table: min_input_files must be >= 2")
+    cur = _current_snapshot_id(path)
+    if cur is None:
+        raise FileNotFoundError(f"no current snapshot at {path}")
+    files = _load_manifest(path, cur)["files"]
+    by_bucket: dict[int, list[dict]] = {}
+    for f in files:
+        if f["n_rows"] < target_file_rows:
+            by_bucket.setdefault(f["pred_bucket"], []).append(f)
+    rewrite = {
+        b: fs for b, fs in by_bucket.items() if len(fs) >= min_input_files
+    }
+    if not rewrite:
+        return None
+    doomed = {f["path"] for fs in rewrite.values() for f in fs}
+    shards = {
+        b: max(1, -(-sum(f["n_rows"] for f in fs) // target_file_rows))
+        for b, fs in rewrite.items()
+    }
+    # direct-path reads skip partition-dir inference, so the frame is plain
+    # TRIPLES_SCHEMA; the bucket re-derives bit-identically from pred
+    df = spark.read.parquet(*sorted(doomed)).withColumn(
+        "pred_bucket", F.pmod(F.hash("pred"), F.lit(N_BUCKETS))
+    )
+    shard_map = F.create_map(
+        *[F.lit(x) for b, n in sorted(shards.items()) for x in (b, n)]
+    )
+    salted = df.withColumn(
+        "_shard",
+        F.pmod(F.xxhash64("subj", "pred", "obj"), shard_map[F.col("pred_bucket")]),
+    )
+    packed = salted.repartition(
+        sum(shards.values()), F.col("pred_bucket"), F.col("_shard")
+    ).drop("_shard")
+    new_files = _write_data_files(
+        spark, packed, path, max_records_per_file=target_file_rows
+    )
+    carried = [f for f in files if f["path"] not in doomed]
+    return _commit_manifest(path, carried + new_files, operation="compact")
 
 
 def expire_snapshots(path: str, keep_last: int = 2) -> list[str]:

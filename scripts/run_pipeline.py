@@ -59,6 +59,12 @@ def main():
              "plain overwrite (engine/snapshots.py: atomic commits, time "
              "travel, manifest pruning)",
     )
+    ap.add_argument(
+        "--compact-target", type=int, default=None, metavar="ROWS",
+        help="with --versioned: after the commit, bin-pack data files "
+             "smaller than ROWS rows into ~ROWS-row files as a follow-up "
+             "compact snapshot (engine/snapshots.compact_table)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("list_extractor_spark").getOrCreate()
@@ -98,9 +104,15 @@ def main():
         )
 
         snap = write_graph_snapshot(triples, args.output, mode=args.versioned)
+        extra["snapshot_id"] = snap
+        if args.compact_target:
+            from list_extractor_spark.engine.snapshots import compact_table
+
+            extra["compact_snapshot_id"] = compact_table(
+                spark, args.output, target_file_rows=args.compact_target
+            )
         written = read_graph_at(spark, args.output)
         n = written.count()
-        extra["snapshot_id"] = snap
     else:
         write_graph(triples, args.output)
         written = spark.read.parquet(args.output)

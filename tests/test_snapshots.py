@@ -167,3 +167,92 @@ def test_commit_is_atomic_under_crash_simulation(spark, tmp_path):
         json.dump({"snapshot_id": 2, "files": []}, f)
     assert [h["snapshot_id"] for h in snapshot_history(path)] == [1]
     assert read_graph_at(spark, path).count() == 20
+
+
+class TestCompaction:
+    def test_compact_merges_small_files_rows_unchanged(self, spark, tmp_path):
+        from list_extractor_spark.engine.snapshots import compact_table
+
+        path = str(tmp_path / "graph")
+        # 4 append commits of small files -> each bucket holds 4 tiny files
+        for tag in ("a", "b", "c", "d"):
+            write_graph_snapshot(_triples(spark, tag, n=40), path)
+        before = sorted(
+            map(tuple, read_graph_at(spark, path).collect())
+        )
+        n_files_before = snapshot_history(path)[-1]["n_files"]
+        sid = compact_table(spark, path, target_file_rows=1000)
+        hist = snapshot_history(path)
+        assert hist[-1]["snapshot_id"] == sid
+        assert hist[-1]["operation"] == "compact"
+        assert hist[-1]["n_files"] < n_files_before
+        # one file per populated bucket after packing (all buckets fit target)
+        buckets = {
+            f["pred_bucket"]
+            for f in json.load(
+                open(os.path.join(path, "metadata", f"snap-{sid}.json"))
+            )["files"]
+        }
+        assert hist[-1]["n_files"] == len(buckets)
+        assert sorted(map(tuple, read_graph_at(spark, path).collect())) == before
+        # time travel to pre-compaction still reads the OLD file set
+        assert sorted(
+            map(tuple, read_graph_at(spark, path, snapshot_id=sid - 1).collect())
+        ) == before
+        v = verify_table(path)
+        assert v["missing_files"] == [] and v["bad_manifests"] == []
+
+    def test_target_rows_splits_oversize_buckets(self, spark, tmp_path):
+        from list_extractor_spark.engine.snapshots import compact_table
+
+        path = str(tmp_path / "graph")
+        # one predicate -> one hot bucket with 2 files of 60 rows each
+        one_pred = lambda tag: _triples(spark, tag, n=60).withColumn(  # noqa: E731
+            "pred", F.lit("http://dbpedia.org/ontology/only")
+        )
+        write_graph_snapshot(one_pred("a"), path)
+        write_graph_snapshot(one_pred("b"), path)
+        sid = compact_table(spark, path, target_file_rows=50)
+        files = json.load(
+            open(os.path.join(path, "metadata", f"snap-{sid}.json"))
+        )["files"]
+        # 120 rows at target 50 -> >= 3 files, every file under the cap
+        assert len(files) >= 3
+        assert all(f["n_rows"] <= 50 for f in files)
+        assert read_graph_at(spark, path).count() == 120
+
+    def test_full_size_files_carry_over_untouched(self, spark, tmp_path):
+        from list_extractor_spark.engine.snapshots import compact_table
+
+        path = str(tmp_path / "graph")
+        write_graph_snapshot(_triples(spark, "a", n=40), path)
+        write_graph_snapshot(_triples(spark, "b", n=40), path)
+        before = {
+            f["path"]
+            for f in json.load(
+                open(os.path.join(path, "metadata", "snap-2.json"))
+            )["files"]
+        }
+        # no file can hold under 1 row -> no candidates -> NO new commit
+        assert compact_table(spark, path, target_file_rows=1) is None
+        assert snapshot_history(path)[-1]["snapshot_id"] == 2
+        # now compact for real, then expire: old small files are reclaimed
+        sid = compact_table(spark, path, target_file_rows=1000)
+        assert sid == 3
+        deleted = set(expire_snapshots(path, keep_last=1))
+        assert deleted == before  # all pre-compaction files reclaimed
+        assert read_graph_at(spark, path).count() == 80
+        v = verify_table(path)
+        assert v["missing_files"] == [] and v["bad_manifests"] == []
+
+    def test_validation(self, spark, tmp_path):
+        from list_extractor_spark.engine.snapshots import compact_table
+
+        path = str(tmp_path / "graph")
+        with pytest.raises(FileNotFoundError):
+            compact_table(spark, path)
+        write_graph_snapshot(_triples(spark, "a"), path)
+        with pytest.raises(ValueError):
+            compact_table(spark, path, target_file_rows=0)
+        with pytest.raises(ValueError):
+            compact_table(spark, path, min_input_files=1)
