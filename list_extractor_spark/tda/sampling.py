@@ -117,6 +117,76 @@ def stratified_sample(documents: DataFrame, rates: dict[str, float],
     return documents.filter(bucket < rate)
 
 
+def mix_sources(
+    documents: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture weighting: downsample each source so the kept corpus
+    approaches the target mixture proportions ``weights`` — the data-mixing
+    stage (Pile / DoReMi-style domain weights) between curation and split
+    assignment in a training pipeline.
+
+    Where stratified_sample takes per-stratum RATES as given, this solves
+    for them: with n_s docs observed per source and target fraction w_s
+    (weights are normalized internally), the largest downsample-only corpus
+    hitting the mixture is N_out = min_s(n_s / w_s), giving keep rate
+    r_s = w_s * N_out / n_s (= 1 for the binding source).  The keep
+    decision then reuses the 16-bit md5 bucket draw (bucket < round(r_s *
+    2^16)) — deterministic and content-keyed, so re-runs/re-shards keep the
+    same rows and any engine can replay membership in plain SQL.
+
+    Output: the kept (key, source, mix_rate) rows, mix_rate rounded to 6
+    decimals.  Sources absent from ``weights`` are dropped; weighted
+    sources absent from the corpus are ignored in the min (they cannot
+    contribute docs, so the mixture is computed over present sources).
+    Upsampling (repeating docs) is out of scope by design — repetition
+    schedules belong to the trainer, not the corpus.
+
+    Scale shape: two passes, like every count-then-act operator here (DSIR
+    fit/score): one map-side-combined count per source, then one narrow
+    filter pass; the per-source table is bounded by the user's weight dict,
+    broadcast unconditionally; N_out is a 1-row broadcast."""
+    if not weights:
+        raise ValueError("mix_sources: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            "mix_sources: weights must be > 0 (omit a source to drop it)"
+        )
+    import pandas as pd
+
+    spark = documents.sparkSession
+    total = float(sum(weights.values()))
+    w_df = spark.createDataFrame(
+        pd.DataFrame(
+            [(s, float(w) / total) for s, w in sorted(weights.items())],
+            columns=[source_col, "w"],
+        ),
+        schema=f"{source_col} string, w double",
+    )
+    per_src = (
+        documents.groupBy(source_col)
+        .agg(F.count("*").alias("n_src"))
+        .join(F.broadcast(w_df), source_col)
+    )
+    n_out = per_src.select(
+        F.min(F.col("n_src") / F.col("w")).alias("n_out")
+    )
+    rate = F.least(
+        F.lit(1.0), F.col("w") * F.col("n_out") / F.col("n_src")
+    )
+    return (
+        documents.join(F.broadcast(per_src), source_col)
+        .crossJoin(F.broadcast(n_out))
+        .filter(
+            _bucket16(F.col(key).cast("string"))
+            < F.round(rate * _SPLIT_BUCKETS)
+        )
+        .select(key, source_col, F.round(rate, 6).alias("mix_rate"))
+    )
+
+
 def chunk_documents(
     documents: DataFrame, chunk_tokens: int = 128, overlap: int = 16
 ) -> DataFrame:

@@ -691,6 +691,55 @@ def test_stratified_sample_deterministic_and_nested(spark):
         docs, {"en": 0.5}, "lang").collect()} - {"en"}
 
 
+def test_mix_sources_solves_rates_and_matches_replica(spark):
+    """mix_sources must solve keep rates from target proportions (binding
+    source keeps everything), draw with the portable md5 bucket, drop
+    unweighted sources, and ignore weighted-but-absent ones."""
+    import hashlib
+
+    from list_extractor_spark.tda.sampling import mix_sources
+
+    rows = (
+        [(f"a{i}", "A") for i in range(10)]
+        + [(f"b{i}", "B") for i in range(40)]
+        + [(f"x{i}", "X") for i in range(7)]  # unweighted -> dropped
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, source string")
+    # targets 50/50 with n_A=10, n_B=40: N_out = min(20, 80) = 20 ->
+    # r_A = 1.0 (binding), r_B = 0.25; 'ghost' has no docs -> ignored
+    got = {
+        r["doc_id"]: (r["source"], r["mix_rate"])
+        for r in mix_sources(
+            docs, {"A": 0.5, "B": 0.5, "ghost": 0.0001}
+        ).collect()
+    }
+
+    tot = 0.5 + 0.5 + 0.0001
+    n_out = min(10 / (0.5 / tot), 40 / (0.5 / tot))
+    expect = {}
+    for d, s in rows:
+        if s == "X":
+            continue
+        rate = min(1.0, (0.5 / tot) * n_out / (10 if s == "A" else 40))
+        b = int(hashlib.md5(d.encode()).hexdigest()[:4], 16)
+        if b < round(rate * 65536):
+            expect[d] = (s, round(rate, 6))
+    assert got == expect
+    assert sum(1 for s, _ in got.values() if s == "A") == 10  # binding: all
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]: (r["source"], r["mix_rate"])
+        for r in mix_sources(
+            docs.repartition(7), {"A": 0.5, "B": 0.5, "ghost": 0.0001}
+        ).collect()
+    }
+    assert again == got
+    with pytest.raises(ValueError):
+        mix_sources(docs, {})
+    with pytest.raises(ValueError):
+        mix_sources(docs, {"A": 0.0})
+
+
 def test_shingle_posting_narrow_equals_window_form(spark):
     """Both shingle-posting strategies must produce the identical
     (doc_id, sh) set, including sub-n-token and empty docs."""
