@@ -111,6 +111,21 @@ def main():
     out["pagerank_sec"] = round(time.time() - t0, 2)
     out["pagerank_max"] = pr.agg(F.max("pagerank")).collect()[0][0]
 
+    # 2M edges >> the 100k driver threshold: this exercises the DISTRIBUTED
+    # min-label-propagation CC loop, the production path for web-scale KGs
+    from list_extractor_spark.engine.graphstats import connected_components
+
+    t0 = time.time()
+    cc = connected_components(triples)
+    out["cc_rows"] = cc.count()
+    out["cc_sec"] = round(time.time() - t0, 2)
+    agg = cc.agg(
+        F.max("component_size").alias("g"),
+        F.count_distinct("component_id").alias("k"),
+    ).collect()[0]
+    out["cc_giant"] = agg["g"]
+    out["cc_n_components"] = agg["k"]
+
     print(json.dumps(out))
 
 
