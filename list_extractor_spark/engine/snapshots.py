@@ -13,9 +13,11 @@ the container:
     ``read_graph_at(..., snapshot_id=N)`` reconstructs any historical state
     and ``rollback`` is a pointer flip, not a data rewrite.
   * MANIFEST-LEVEL PRUNING — manifests carry per-file partition values
-    (pred_bucket) and row counts, so a bucket-filtered read prunes FILES
-    before Spark ever lists or opens them — the scan-planning benefit that
-    makes metadata tables matter at 10^5+ files.
+    (pred_bucket), row counts, and subj min/max bounds, so bucket-filtered
+    and subj-range reads prune FILES before Spark ever lists or opens them
+    — the scan-planning benefit that makes metadata tables matter at 10^5+
+    files.  compact_table doubles as the clustering pass that makes the
+    bounds tight.
 
 Single-writer by design (the pipeline materialize stage is one job); the
 commit protocol makes concurrent READERS safe, not concurrent writers —
@@ -86,7 +88,14 @@ def _write_data_files(
     stats = (
         spark.read.parquet(data_dir)
         .groupBy("pred_bucket", F.input_file_name().alias("f"))
-        .count()
+        .agg(
+            F.count("*").alias("count"),
+            # per-file column bounds, same single metadata pass: the
+            # Iceberg-style stats that let read_graph_at prune files from
+            # the MANIFEST on a subj range before Spark lists anything
+            F.min("subj").alias("subj_min"),
+            F.max("subj").alias("subj_max"),
+        )
         .collect()
     )
     return sorted(
@@ -100,6 +109,8 @@ def _write_data_files(
                 ),
                 "pred_bucket": r["pred_bucket"],
                 "n_rows": r["count"],
+                "subj_min": r["subj_min"],
+                "subj_max": r["subj_max"],
             }
             for r in stats
         ),
@@ -165,12 +176,21 @@ def read_graph_at(
     path: str,
     snapshot_id: int | None = None,
     pred_buckets: list[int] | None = None,
+    subj_range: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Read the table as of ``snapshot_id`` (default: current).
 
     ``pred_buckets`` prunes at the MANIFEST level: only matching files are
     handed to the reader — at a million files this is the difference
-    between planning from a JSON scan and listing the whole table."""
+    between planning from a JSON scan and listing the whole table.
+
+    ``subj_range=(lo, hi)`` (inclusive) prunes via the per-file subj
+    min/max bounds the writer records (Iceberg column-stats skipping) AND
+    applies the row filter, so the result is exact whether or not a file
+    carries bounds (stats-less files from old manifests are kept).  The
+    pruning pays off after compact_table's subject clustering — appends
+    write near-random subj ranges, compaction sorts within shards so each
+    file covers a tight range."""
     snap = snapshot_id if snapshot_id is not None else _current_snapshot_id(path)
     if snap is None:
         raise FileNotFoundError(f"no current snapshot at {path}")
@@ -179,11 +199,23 @@ def read_graph_at(
     if pred_buckets is not None:
         want = set(pred_buckets)
         files = [f for f in files if f["pred_bucket"] in want]
+    if subj_range is not None:
+        lo, hi = subj_range
+        files = [
+            f
+            for f in files
+            if f.get("subj_min") is None
+            or not (f["subj_max"] < lo or f["subj_min"] > hi)
+        ]
     if not files:
         from .schemas import TRIPLES_SCHEMA
 
-        return spark.createDataFrame([], TRIPLES_SCHEMA)
-    return spark.read.parquet(*[f["path"] for f in files])
+        out = spark.createDataFrame([], TRIPLES_SCHEMA)
+    else:
+        out = spark.read.parquet(*[f["path"] for f in files])
+    if subj_range is not None:
+        out = out.filter(F.col("subj").between(subj_range[0], subj_range[1]))
+    return out
 
 
 def pred_buckets_for(preds) -> list[int]:
@@ -284,6 +316,7 @@ def compact_table(
     path: str,
     target_file_rows: int = 1_000_000,
     min_input_files: int = 2,
+    sort_col: str | None = "subj",
 ) -> int | None:
     """Bin-pack small data files into ~``target_file_rows``-row files and
     commit the rewrite as a new snapshot (Iceberg ``rewrite_data_files``
@@ -305,6 +338,10 @@ def compact_table(
     caps any residual hash-collision overfill.  Readers are never blocked:
     prior snapshots keep referencing the old files (time travel intact)
     until expire_snapshots reclaims them.
+
+    ``sort_col`` (default "subj") clusters rows within each output shard
+    so the rewritten files carry tight min/max bounds for read_graph_at's
+    column-stats pruning; None skips the sort.
 
     Returns the new snapshot id, or None when nothing qualifies (the
     no-op MUST not commit — an empty compact every maintenance tick would
@@ -336,16 +373,32 @@ def compact_table(
     df = spark.read.parquet(*sorted(doomed)).withColumn(
         "pred_bucket", F.pmod(F.hash("pred"), F.lit(N_BUCKETS))
     )
-    shard_map = F.create_map(
-        *[F.lit(x) for b, n in sorted(shards.items()) for x in (b, n)]
-    )
-    salted = df.withColumn(
-        "_shard",
-        F.pmod(F.xxhash64("subj", "pred", "obj"), shard_map[F.col("pred_bucket")]),
-    )
-    packed = salted.repartition(
-        sum(shards.values()), F.col("pred_bucket"), F.col("_shard")
-    ).drop("_shard")
+    n_shards = sum(shards.values())
+    if sort_col is not None:
+        # clustered rewrite: RANGE-partition on (bucket, sort_col) so each
+        # task holds a contiguous key range — the rewritten files then
+        # carry TIGHT per-file min/max bounds, which is what makes
+        # read_graph_at's column-stats pruning actually skip files (a
+        # hash salt would spread every key range across every file).
+        # Range sampling also equalizes rows per task, so a hot bucket
+        # spans multiple shards instead of funneling through one.
+        packed = df.repartitionByRange(
+            n_shards, F.col("pred_bucket"), F.col(sort_col)
+        ).sortWithinPartitions("pred_bucket", sort_col)
+    else:
+        shard_map = F.create_map(
+            *[F.lit(x) for b, n in sorted(shards.items()) for x in (b, n)]
+        )
+        salted = df.withColumn(
+            "_shard",
+            F.pmod(
+                F.xxhash64("subj", "pred", "obj"),
+                shard_map[F.col("pred_bucket")],
+            ),
+        )
+        packed = salted.repartition(
+            n_shards, F.col("pred_bucket"), F.col("_shard")
+        ).drop("_shard")
     new_files = _write_data_files(
         spark, packed, path, max_records_per_file=target_file_rows
     )

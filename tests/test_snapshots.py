@@ -186,14 +186,16 @@ class TestCompaction:
         assert hist[-1]["snapshot_id"] == sid
         assert hist[-1]["operation"] == "compact"
         assert hist[-1]["n_files"] < n_files_before
-        # one file per populated bucket after packing (all buckets fit target)
+        # all buckets fit the target -> one range shard per bucket; a range
+        # boundary straddling a bucket adds at most one extra file per
+        # crossing, so files <= shards + buckets - 1
         buckets = {
             f["pred_bucket"]
             for f in json.load(
                 open(os.path.join(path, "metadata", f"snap-{sid}.json"))
             )["files"]
         }
-        assert hist[-1]["n_files"] == len(buckets)
+        assert hist[-1]["n_files"] <= 2 * len(buckets) - 1
         assert sorted(map(tuple, read_graph_at(spark, path).collect())) == before
         # time travel to pre-compaction still reads the OLD file set
         assert sorted(
@@ -256,3 +258,62 @@ class TestCompaction:
             compact_table(spark, path, target_file_rows=0)
         with pytest.raises(ValueError):
             compact_table(spark, path, min_input_files=1)
+
+
+class TestColumnStatsPruning:
+    def test_subj_range_prunes_files_and_stays_exact(self, spark, tmp_path):
+        from list_extractor_spark.engine.snapshots import (
+            _load_manifest,
+            compact_table,
+        )
+
+        path = str(tmp_path / "graph")
+        # one predicate = one bucket; subj values aa00..aa59 + zz00..zz59
+        def batch(prefix):
+            return spark.range(60).select(
+                F.concat(F.lit(prefix), F.format_string("%02d", "id")).alias(
+                    "subj"
+                ),
+                F.lit("http://dbpedia.org/ontology/only").alias("pred"),
+                F.concat(F.lit("o"), "id").alias("obj"),
+                F.lit(None).cast("string").alias("obj_dt"),
+            )
+
+        write_graph_snapshot(batch("aa"), path)
+        write_graph_snapshot(batch("zz"), path)
+        sid = compact_table(spark, path, target_file_rows=40)  # sorted shards
+        files = _load_manifest(path, sid)["files"]
+        assert all(f["subj_min"] <= f["subj_max"] for f in files)
+        # manifest bounds alone must rule out files for an aa-only range
+        lo, hi = "aa00", "aa99"
+        kept = [
+            f for f in files if not (f["subj_max"] < lo or f["subj_min"] > hi)
+        ]
+        assert 0 < len(kept) < len(files)
+        got = sorted(
+            r["subj"]
+            for r in read_graph_at(
+                spark, path, subj_range=(lo, hi)
+            ).collect()
+        )
+        assert got == sorted(f"aa{i:02d}" for i in range(60))
+        # a range covering nothing is empty but schema'd
+        assert read_graph_at(spark, path, subj_range=("qq", "qr")).count() == 0
+
+    def test_stats_recorded_on_plain_appends_too(self, spark, tmp_path):
+        from list_extractor_spark.engine.snapshots import _load_manifest
+
+        path = str(tmp_path / "graph")
+        write_graph_snapshot(_triples(spark, "a", n=30), path)
+        files = _load_manifest(path, 1)["files"]
+        assert files and all(
+            f["subj_min"].startswith("http://") for f in files
+        )
+        # exact-row agreement with the unpruned read
+        full = sorted(map(tuple, read_graph_at(spark, path).collect()))
+        lo = min(f["subj_min"] for f in files)
+        hi = max(f["subj_max"] for f in files)
+        ranged = sorted(
+            map(tuple, read_graph_at(spark, path, subj_range=(lo, hi)).collect())
+        )
+        assert ranged == full
