@@ -740,6 +740,61 @@ def test_mix_sources_solves_rates_and_matches_replica(spark):
         mix_sources(docs, {"A": 0.0})
 
 
+def test_mix_sources_random_configs_match_replica(spark):
+    """Seeded-loop randomized check (same pattern as the CC property test —
+    hypothesis would respawn Spark jobs per example): random corpora,
+    UNNORMALIZED weights, absent-but-weighted and present-but-unweighted
+    sources, vs a python replica running the identical IEEE arithmetic and
+    HALF_UP bound (Spark F.round semantics, NOT python banker's round)."""
+    import hashlib
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from list_extractor_spark.tda.sampling import mix_sources
+
+    for seed in (3, 17, 99, 2024):
+        rng = random.Random(seed)
+        srcs = [f"s{i}" for i in range(rng.randint(2, 5))]
+        rows = [
+            (f"d{seed}_{s}_{i}", s)
+            for s in srcs
+            for i in range(rng.randint(1, 30))
+        ]
+        weights = {s: rng.uniform(0.05, 5.0) for s in rng.sample(srcs, len(srcs) - 1) or srcs[:1]}
+        weights["ghost"] = rng.uniform(0.01, 1.0)  # weighted, absent
+        docs = spark.createDataFrame(rows, "doc_id string, source string")
+        got = {
+            r["doc_id"]: (r["source"], r["mix_rate"])
+            for r in mix_sources(docs.repartition(3), weights).collect()
+        }
+
+        total = float(sum(weights.values()))
+        n = {s: sum(1 for _, x in rows if x == s) for s in srcs}
+        present = [s for s in srcs if s in weights and n.get(s)]
+        n_out = min(n[s] / (weights[s] / total) for s in present)
+        expect = {}
+        for d, s in rows:
+            if s not in weights:
+                continue
+            w = weights[s] / total
+            rate = min(1.0, w * n_out / n[s])
+            bound = float(
+                Decimal(repr(rate * 65536)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+            if int(hashlib.md5(d.encode()).hexdigest()[:4], 16) < bound:
+                expect[d] = (
+                    s,
+                    float(
+                        Decimal(repr(rate)).quantize(
+                            Decimal("1e-6"), rounding=ROUND_HALF_UP
+                        )
+                    ),
+                )
+        assert got == expect, f"seed {seed}"
+
+
 def test_shingle_posting_narrow_equals_window_form(spark):
     """Both shingle-posting strategies must produce the identical
     (doc_id, sh) set, including sub-n-token and empty docs."""
