@@ -1020,6 +1020,9 @@ def kg_oracle_sql(sf_dir: str) -> dict[str, str]:
     """All kg_* oracle SQL strings (VALUES literals over expected rows)."""
     return {
         "kg_pipeline": values_sql(kg_pipeline_rows(), _TRIPLE_COLS),
+        # the snapshot-table roundtrip must reproduce the pipeline output
+        # row-for-row — same VALUES oracle by construction
+        "kg_snapshot_roundtrip": values_sql(kg_pipeline_rows(), _TRIPLE_COLS),
         "kg_degree_stats": values_sql(
             kg_degree_rows(),
             [("entity", "VARCHAR"), ("out_degree", "BIGINT"),
