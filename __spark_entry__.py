@@ -1154,6 +1154,39 @@ def _stream_kg_extract(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id", "subj", "pred", "obj", "obj_dt")
 
 
+def _stream_kg_versioned(spark, sf_dir):
+    """Streaming extract+link committed to the VERSIONED graph table — one
+    atomic snapshot per micro-batch with an in-manifest idempotence marker
+    (streaming/stream_extract.stream_triples_versioned), read back via the
+    snapshot reader; rows must equal the append-sink stream, so it shares
+    stream_kg_extract's VALUES oracle."""
+    import tempfile
+
+    from list_extractor_spark.engine.pipeline import snapshots_to_dfs
+    from list_extractor_spark.engine.snapshots import read_graph_at
+    from list_extractor_spark.streaming.stream_extract import (
+        stream_documents,
+        stream_triples_versioned,
+    )
+
+    src = _stage_once(
+        None, None, f"stream_docs_{KG_DOCS}",
+        lambda t: _fixture_documents(spark).write.parquet(t),
+    )
+    table = tempfile.mkdtemp(prefix="sg_stream_vtbl_")
+    ck = tempfile.mkdtemp(prefix="sg_stream_vck_")
+    snaps = make_snapshots()
+    mention_index, sameas, _ = snapshots_to_dfs(spark, snaps)
+    keys = {(lang, s) for (lang, s, w, r) in snaps["mention_index"]}
+    q = stream_triples_versioned(
+        stream_documents(spark, src), mention_index, sameas, keys, table, ck
+    )
+    q.awaitTermination()
+    return read_graph_at(spark, table).select(
+        "doc_id", "subj", "pred", "obj", "obj_dt"
+    )
+
+
 def _stream_kg_canonical(spark, sf_dir):
     """Streaming extract+link with the STATIC canonical snapshot applied
     in-stream (broadcast per micro-batch — the slowly-updating-dimension
@@ -1442,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_text_quality": _stream_text_quality,
         # NEW this round: native session_window dynamic-gap state op
         "stream_sessionize": _stream_sessionize,
+        # NEW (late r6): 8th streaming surface — versioned-table sink
+        "stream_kg_versioned": _stream_kg_versioned,
         # KG pipeline stages (span corpus synthesized per input_hint)
         "kg_candidates": _kg_candidates,
         "kg_parse_items": _kg_parse_items,
@@ -1453,7 +1488,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW (late r6): the snapshot-log table format itself, oracle-graded
         "kg_snapshot_roundtrip": _kg_snapshot_roundtrip,
         # training-data ops
-        "dedup_shingle_jaccard": _dedup_shingle_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_resolve_minhash": _dedup_resolve_minhash,
         "dedup_corpus_minhash": _dedup_corpus_minhash,
@@ -1503,12 +1537,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_profile_events: green r4+r5, the profiler family keeps
         # q_profile_numeric + q_profile_quantiles in the prefix — rotated
         # out for the NEW kg_snapshot_roundtrip
+        # dedup_shingle_jaccard: green r2-r5 (4 rounds), the posting/pair
+        # machinery also feeds the graded minhash family — rotated out for
+        # the NEW stream_kg_versioned
         "kg_metrics": _kg_metrics,
         "kg_accuracy": _kg_accuracy,
         "kg_canonical_map": _kg_canonical_map,
         "dedup_simhash": _dedup_simhash,
         "text_pack_documents": _text_pack_documents,
         "q_profile_events": _q_profile_events,
+        "dedup_shingle_jaccard": _dedup_shingle_jaccard,
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "text_winnow_fingerprint": _text_winnow_fingerprint,

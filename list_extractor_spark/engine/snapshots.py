@@ -118,9 +118,16 @@ def _write_data_files(
     )
 
 
-def _commit_manifest(path: str, files: list[dict], operation: str) -> int:
+def _commit_manifest(
+    path: str, files: list[dict], operation: str, marker: str | None = None
+) -> int:
     """Atomically commit ``files`` (the snapshot's FULL file set) as a new
-    manifest and flip ``current`` to it; returns the new snapshot id."""
+    manifest and flip ``current`` to it; returns the new snapshot id.
+
+    ``marker`` is an optional idempotence token stored IN the manifest —
+    atomic with the commit itself, so a writer that checks for its marker
+    before committing gets exactly-once semantics with no side ledger
+    (the streaming sink's batch-replay guard)."""
     parent = _current_snapshot_id(path)
     # ids must be globally fresh, not parent+1: after a rollback the current
     # pointer is an OLD snapshot, and parent+1 would silently clobber an
@@ -132,6 +139,7 @@ def _commit_manifest(path: str, files: list[dict], operation: str) -> int:
         "parent_id": parent,
         "ts": time.time(),
         "operation": operation,
+        "marker": marker,
         "files": files,
         "total_rows": sum(f["n_rows"] for f in files),
     }
@@ -150,7 +158,7 @@ def _commit_manifest(path: str, files: list[dict], operation: str) -> int:
 
 
 def write_graph_snapshot(
-    triples: DataFrame, path: str, mode: str = "append"
+    triples: DataFrame, path: str, mode: str = "append", marker: str | None = None
 ) -> int:
     """Commit ``triples`` as a new snapshot of the versioned graph table at
     ``path``; returns the new snapshot id.
@@ -168,7 +176,7 @@ def write_graph_snapshot(
     parent = _current_snapshot_id(path)
     if mode == "append" and parent is not None:
         carried = _load_manifest(path, parent)["files"]
-    return _commit_manifest(path, carried + files, operation=mode)
+    return _commit_manifest(path, carried + files, operation=mode, marker=marker)
 
 
 def read_graph_at(
@@ -292,12 +300,20 @@ def snapshot_history(path: str) -> list[dict]:
                     "snapshot_id": m["snapshot_id"],
                     "parent_id": m["parent_id"],
                     "operation": m["operation"],
+                    "marker": m.get("marker"),
                     "ts": m["ts"],
                     "total_rows": m["total_rows"],
                     "n_files": len(m["files"]),
                 }
             )
     return sorted(out, key=lambda m: m["snapshot_id"])
+
+
+def marker_committed(path: str, marker: str) -> bool:
+    """True when some snapshot already carries ``marker`` — the replay
+    check of the idempotent-commit protocol (scan the manifest log; at a
+    long history expire_snapshots bounds it)."""
+    return any(m["marker"] == marker for m in snapshot_history(path))
 
 
 def rollback(path: str, snapshot_id: int) -> None:

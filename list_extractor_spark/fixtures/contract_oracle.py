@@ -1068,6 +1068,11 @@ def kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             stream_extract_rows(),
             [("doc_id", "VARCHAR")] + _TRIPLE_COLS,
         ),
+        # the versioned streaming sink reproduces the append sink exactly
+        "stream_kg_versioned": values_sql(
+            stream_extract_rows(),
+            [("doc_id", "VARCHAR")] + _TRIPLE_COLS,
+        ),
         "stream_kg_canonical": values_sql(
             stream_canonical_rows(),
             [("doc_id", "VARCHAR")] + _TRIPLE_COLS,

@@ -69,6 +69,56 @@ def stream_triples(
     return writer.start()
 
 
+def stream_triples_versioned(
+    docs_stream: DataFrame,
+    mention_index: DataFrame,
+    sameas: DataFrame,
+    linkable_keys,
+    table_path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    canonical_map: DataFrame | None = None,
+):
+    """Continuous extraction committed to the VERSIONED graph table: every
+    micro-batch becomes one atomic append snapshot
+    (engine/snapshots.write_graph_snapshot) — the streaming-into-Iceberg
+    ingestion pattern, with the full snapshot toolkit (time travel,
+    rollback, compaction, stats pruning) over the live table.
+
+    Exactly-once without a side ledger: each commit carries the marker
+    ``batch-<id>`` IN its manifest (atomic with the commit), and a replayed
+    batch — foreachBatch re-runs the last batch after a crash/restart —
+    finds its marker and skips.  Only the most recent batch can ever
+    replay (the streaming checkpoint fences older ones), so
+    expire_snapshots dropping old manifests cannot resurrect a duplicate.
+
+    Readers are never blocked and never see a half batch: the ``current``
+    pointer flips once per batch, after the batch's files are fully
+    written."""
+    from ..engine.canonicalize import apply_canonical_df
+    from ..engine.snapshots import marker_committed, write_graph_snapshot
+
+    candidates = extract_candidates(docs_stream, linkable_keys=linkable_keys)
+    triples = resolve_links(candidates, mention_index, sameas)
+    if canonical_map is not None:
+        triples = apply_canonical_df(triples, canonical_map)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"batch-{batch_id}"
+        if marker_committed(table_path, marker):
+            return  # replayed batch after restart: already in the log
+        write_graph_snapshot(batch_df, table_path, mode="append", marker=marker)
+
+    writer = (
+        triples.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def session_event_rollup(events_stream: DataFrame, gap: str = "8 hours"):
     """Gap-based sessionization as a STREAM via Spark's native
     session_window: windows merge while events keep arriving within the
