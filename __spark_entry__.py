@@ -444,6 +444,37 @@ def _minhash_pairs(spark, sf_dir):
     )
 
 
+def _incremental_sides(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return (
+        docs.filter(F.col("doc_id").cast("int") < 250),
+        docs.filter(F.col("doc_id").cast("int") >= 250),
+    )
+
+
+def _dedup_incremental(spark, sf_dir):
+    """Continuous-ingestion dedup pairs (tda/dedup.minhash_incremental_pairs):
+    incoming batch (doc_id >= 250) vs the committed corpus (< 250) plus
+    within-batch — never corpus x corpus, so per-batch cost tracks the
+    batch, not the accumulated corpus."""
+    corpus, incoming = _incremental_sides(spark, sf_dir)
+    return dedup.minhash_incremental_pairs(
+        corpus, incoming, k=16, bands=4, threshold=0.2, bucket_cap=50
+    )
+
+
+def _dedup_incoming(spark, sf_dir):
+    """The ingestion verdict (tda/dedup.dedup_incoming): incoming docs that
+    near-dup the committed corpus drop unconditionally (the corpus copy
+    wins); within-batch clusters resolve by CC + keep_min."""
+    corpus, incoming = _incremental_sides(spark, sf_dir)
+    return dedup.dedup_incoming(
+        corpus, incoming, k=16, bands=4, threshold=0.2, bucket_cap=50
+    )
+
+
 def _dedup_resolve_minhash(spark, sf_dir):
     """Near-dup GROUP resolution: connected components over the minhash pair
     graph + keep_min survivor per cluster (tda/dedup.near_dup_resolve) —
@@ -1461,7 +1492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _sim_ivf_topk,
         "sim_near_dup": _sim_near_dup,
         "sim_near_dup_lsh": _sim_near_dup_lsh,
-        "sim_topk": _sim_topk,
         "media_stats": _media_stats,
         "media_features": _media_features,
         "media_resize": _media_resize,
@@ -1478,7 +1508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW (late r6): 8th streaming surface — versioned-table sink
         "stream_kg_versioned": _stream_kg_versioned,
         # KG pipeline stages (span corpus synthesized per input_hint)
-        "kg_candidates": _kg_candidates,
         "kg_parse_items": _kg_parse_items,
         "kg_spanified_triples": _kg_spanified_triples,
         # NEW this round: graph analytics over the materialized KG
@@ -1491,6 +1520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_resolve_minhash": _dedup_resolve_minhash,
         "dedup_corpus_minhash": _dedup_corpus_minhash,
+        # NEW (late r6): continuous-ingestion dedup (batch vs corpus)
+        "dedup_incremental": _dedup_incremental,
+        "dedup_incoming": _dedup_incoming,
         # NEW this round: exact-substring span dedup (Lee et al. 2022)
         "dedup_span_windows": _dedup_span_windows,
         "dedup_span_removal": _dedup_span_removal,
@@ -1540,6 +1572,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_shingle_jaccard: green r2-r5 (4 rounds), the posting/pair
         # machinery also feeds the graded minhash family — rotated out for
         # the NEW stream_kg_versioned
+        # sim_topk (green r2-r5) / kg_candidates (green r3-r5): rotated out
+        # for the NEW dedup_incremental / dedup_incoming (kg_candidates'
+        # semantics stay anchored by kg_pipeline + the golden-page gate;
+        # sim_topk is the exact baseline the graded ANN recall gates
+        # compare against in pytest)
         "kg_metrics": _kg_metrics,
         "kg_accuracy": _kg_accuracy,
         "kg_canonical_map": _kg_canonical_map,
@@ -1547,6 +1584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_documents": _text_pack_documents,
         "q_profile_events": _q_profile_events,
         "dedup_shingle_jaccard": _dedup_shingle_jaccard,
+        "sim_topk": _sim_topk,
+        "kg_candidates": _kg_candidates,
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "text_winnow_fingerprint": _text_winnow_fingerprint,

@@ -435,6 +435,49 @@ def minhash_lsh_rows(sf_dir: str, k: int = 16, bands: int = 4, threshold: float 
     return sorted(out)
 
 
+def minhash_incremental_rows(sf_dir: str, split_at: int = 250,
+                             threshold: float = 0.2,
+                             bucket_cap: int | None = 50):
+    """Expected pairs of minhash_incremental_pairs with corpus = doc_id <
+    split_at, incoming = the rest: the combined-bucket candidate set is
+    identical to the full self-join's (the Spark side caps the UNION of
+    both sides' postings), restricted to pairs that are not corpus x
+    corpus."""
+    corp = lambda d: int(d) < split_at  # noqa: E731
+    return [
+        (a, b, j)
+        for a, b, j in minhash_lsh_rows(
+            sf_dir, threshold=threshold, bucket_cap=bucket_cap
+        )
+        if not (corp(a) and corp(b))
+    ]
+
+
+def dedup_incoming_rows(sf_dir: str, split_at: int = 250,
+                        threshold: float = 0.2,
+                        bucket_cap: int | None = 50):
+    """Expected (doc_id, keep) of dedup_incoming: incoming docs paired with
+    any corpus doc drop unconditionally (the committed copy wins);
+    within-batch pairs resolve by union-find + keep_min."""
+    from ..core.components import components
+
+    corp = lambda d: int(d) < split_at  # noqa: E731
+    pairs = minhash_incremental_rows(
+        sf_dir, split_at=split_at, threshold=threshold, bucket_cap=bucket_cap
+    )
+    dropped = set()
+    for a, b, _j in pairs:
+        if corp(a):
+            dropped.add(b)
+        elif corp(b):
+            dropped.add(a)
+    within = [(a, b) for a, b, _j in pairs if not corp(a) and not corp(b)]
+    dropped |= {d for d, c in components(within).items() if d != c}
+    return sorted(
+        (d, d not in dropped) for d, _t in _sf_documents(sf_dir) if not corp(d)
+    )
+
+
 def near_dup_resolve_rows(sf_dir: str, threshold: float = 0.2,
                           bucket_cap: int | None = 50):
     """Expected (doc_id, cluster_id, keep) of near_dup_resolve over the
@@ -977,6 +1020,15 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
         "dedup_minhash_lsh": values_sql(
             minhash_lsh_rows(sf_dir, bucket_cap=50),
             [("doc_a", "VARCHAR"), ("doc_b", "VARCHAR"), ("jaccard", "DOUBLE")],
+        ),
+        # continuous-ingestion dedup: incoming batch vs committed corpus
+        "dedup_incremental": values_sql(
+            minhash_incremental_rows(sf_dir),
+            [("doc_a", "VARCHAR"), ("doc_b", "VARCHAR"), ("jaccard", "DOUBLE")],
+        ),
+        "dedup_incoming": values_sql(
+            dedup_incoming_rows(sf_dir),
+            [("doc_id", "VARCHAR"), ("keep", "BOOLEAN")],
         ),
         # cluster resolution over the minhash pair graph: python union-find
         # (core/components.py — the same single-source-of-truth the Spark

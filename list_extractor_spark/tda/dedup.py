@@ -394,6 +394,165 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bucket_cap: int | None = None,
+    within_incoming: bool = True,
+) -> DataFrame:
+    """Continuous-ingestion dedup: near-dup pairs between an INCOMING batch
+    and the EXISTING corpus (plus, by default, within the batch itself) —
+    never corpus x corpus.  This is the join shape a 100-TB pipeline needs
+    when corpora arrive in increments: re-running full-corpus dedup per
+    batch is O((N+m)^2 / buckets); here the corpus side only participates
+    in band buckets an incoming document actually collides with, so the
+    cost tracks the BATCH (m x bucket occupancy), not the corpus.
+
+    Same signature machinery as minhash_lsh_pairs strategy="arrow" (one
+    narrow minhash_doc_stats pass per side, band-bucket candidates, exact
+    Jaccard verify on candidate pairs only); ``bucket_cap`` applies to the
+    COMBINED bucket membership, mirroring the self-join form's hub guard.
+    doc_ids must be disjoint across sides (they name different documents).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, both cross-side and
+    (when ``within_incoming``) batch-internal pairs — feed dedup_incoming
+    or near_dup_resolve for verdicts."""
+    stats_c = minhash_doc_stats(corpus, k=k, bands=bands).localCheckpoint(
+        eager=True
+    )
+    stats_i = minhash_doc_stats(incoming, k=k, bands=bands).localCheckpoint(
+        eager=True
+    )
+
+    def banded(stats, side):
+        return stats.select(
+            "doc_id",
+            F.lit(side).alias("side"),
+            F.stack(
+                F.lit(bands),
+                *[x for b in range(bands) for x in (F.lit(b), F.col(f"bh_{b}"))],
+            ).alias("band_id", "bh"),
+        )
+
+    both = _cap_postings(
+        banded(stats_c, "c").unionByName(banded(stats_i, "i")),
+        ["band_id", "bh"],
+        bucket_cap,
+    )
+    b_c = both.filter(F.col("side") == "c").drop("side")
+    b_i = both.filter(F.col("side") == "i").drop("side")
+    cross = (
+        b_i.alias("x")
+        .join(b_c.alias("y"), ["band_id", "bh"])
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+    )
+    cand = cross
+    if within_incoming:
+        within = (
+            b_i.alias("x")
+            .join(b_i.alias("y"), ["band_id", "bh"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+        )
+        cand = cand.unionByName(within)
+    cand = cand.distinct()
+
+    @F.pandas_udf("int")
+    def _common(ha: pd.Series, hb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [len(np.intersect1d(a, b, assume_unique=True)) for a, b in zip(ha, hb)],
+            dtype="int32",
+        )
+
+    stats_all = stats_c.unionByName(stats_i)
+    side = lambda s: stats_all.select(  # noqa: E731
+        F.col("doc_id").alias(f"doc_{s}"),
+        F.col("sh_hash").alias(f"h_{s}"),
+        F.col("n_sh").alias(f"n_{s}"),
+    )
+    return (
+        cand.join(side("a"), "doc_a")
+        .join(side("b"), "doc_b")
+        .withColumn("common", _common("h_a", "h_b"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_incoming(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """The ingestion verdict: (doc_id, keep) for every INCOMING document.
+    A document is dropped when it near-dups anything already in the corpus
+    (the corpus always wins — its copy is already committed), or when it is
+    a non-survivor of a within-batch near-dup cluster (connected components
+    + keep_min via near_dup_resolve, so chains resolve consistently instead
+    of greedily).  Corpus rows are never re-judged — the operator's whole
+    point is that the accumulated corpus is immutable history."""
+    pairs = minhash_incremental_pairs(
+        corpus,
+        incoming,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+        bucket_cap=bucket_cap,
+    ).localCheckpoint(eager=True)
+    inc_ids = incoming.select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    ).distinct()
+    corpus_ids = corpus.select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    ).distinct()
+    # an incoming doc paired with ANY corpus doc drops unconditionally
+    vs_corpus = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .join(corpus_ids, "doc_id", "left_semi")  # the corpus member
+    )
+    dropped_cross = (
+        pairs.join(vs_corpus.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(F.col("doc_b").alias("doc_id"))
+        .unionByName(
+            pairs.join(
+                vs_corpus.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+            ).select(F.col("doc_a").alias("doc_id"))
+        )
+        .join(inc_ids, "doc_id", "left_semi")
+        .distinct()
+    )
+    # within-batch pairs resolve by CC + keep_min
+    within = pairs.join(
+        corpus_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
+    ).join(corpus_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
+    dropped_within = near_dup_resolve(within).filter(~F.col("keep")).select(
+        "doc_id"
+    )
+    dropped = dropped_cross.unionByName(dropped_within).distinct()
+    return inc_ids.join(
+        dropped.withColumn("_drop", F.lit(True)), "doc_id", "left"
+    ).select("doc_id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"))
+
+
 def _minhash_lsh_pairs_relational(
     documents: DataFrame,
     k: int = 16,

@@ -740,6 +740,57 @@ def test_mix_sources_solves_rates_and_matches_replica(spark):
         mix_sources(docs, {"A": 0.0})
 
 
+def test_minhash_incremental_never_pairs_corpus_with_corpus(spark):
+    """The ingestion join shape: corpus x corpus near-dups must NOT appear
+    (their dedup already happened when they were committed); cross-side and
+    within-batch pairs must."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [("c1", text), ("c2", text), ("c3", "totally different words here ok")],
+        "doc_id string, text string",
+    )
+    incoming = spark.createDataFrame(
+        [("n1", text), ("n2", text), ("n3", "unrelated fresh content entirely")],
+        "doc_id string, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_incremental_pairs(
+            corpus, incoming, threshold=0.5
+        ).collect()
+    }
+    assert ("c1", "c2") not in pairs  # corpus x corpus excluded by design
+    assert {("c1", "n1"), ("c1", "n2"), ("c2", "n1"), ("c2", "n2"), ("n1", "n2")} <= pairs
+    assert not any("n3" in p or "c3" in p for p in pairs)
+    # within_incoming=False drops the batch-internal pair, keeps cross
+    cross_only = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_incremental_pairs(
+            corpus, incoming, threshold=0.5, within_incoming=False
+        ).collect()
+    }
+    assert ("n1", "n2") not in cross_only and ("c1", "n1") in cross_only
+
+
+def test_dedup_incoming_verdicts(spark):
+    """Corpus dups drop unconditionally (the committed copy wins); a
+    within-batch cluster keeps its min doc_id; unpaired docs keep."""
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven"
+    corpus = spark.createDataFrame([("c1", t1)], "doc_id string, text string")
+    incoming = spark.createDataFrame(
+        [("n1", t1), ("n2", t2), ("n3", t2), ("n4", "fresh standalone words")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in dedup.dedup_incoming(corpus, incoming, threshold=0.5).collect()
+    }
+    # n1 dups the corpus -> drop even though it is the batch's min id;
+    # n2/n3 cluster within the batch -> keep_min keeps n2; n4 untouched
+    assert got == {"n1": False, "n2": True, "n3": False, "n4": True}
+
+
 def test_mix_sources_random_configs_match_replica(spark):
     """Seeded-loop randomized check (same pattern as the CC property test —
     hypothesis would respawn Spark jobs per example): random corpora,
