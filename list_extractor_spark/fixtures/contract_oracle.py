@@ -435,6 +435,25 @@ def minhash_lsh_rows(sf_dir: str, k: int = 16, bands: int = 4, threshold: float 
     return sorted(out)
 
 
+def compression_ratio_rows(sf_dir: str, level: int = 6):
+    """tda/textstats.compression_ratio replica: SAME interpreter, SAME zlib,
+    identical round() — bit-stable within this deployment by construction."""
+    import zlib
+
+    return sorted(
+        (
+            d,
+            len(t.encode("utf-8")),
+            round(
+                len(zlib.compress(t.encode("utf-8"), level))
+                / max(len(t.encode("utf-8")), 1),
+                6,
+            ),
+        )
+        for d, t in _sf_documents(sf_dir)
+    )
+
+
 def minhash_incremental_rows(sf_dir: str, split_at: int = 250,
                              threshold: float = 0.2,
                              bucket_cap: int | None = 50):
@@ -1029,6 +1048,11 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
         "dedup_incoming": values_sql(
             dedup_incoming_rows(sf_dir),
             [("doc_id", "VARCHAR"), ("keep", "BOOLEAN")],
+        ),
+        "text_compression": values_sql(
+            compression_ratio_rows(sf_dir),
+            [("doc_id", "VARCHAR"), ("n_bytes", "INTEGER"),
+             ("compression_ratio", "DOUBLE")],
         ),
         # cluster resolution over the minhash pair graph: python union-find
         # (core/components.py — the same single-source-of-truth the Spark

@@ -1373,6 +1373,31 @@ def test_bm25_rejects_empty_query(spark):
         bm25_search(docs, "   ")
 
 
+def test_compression_ratio_signal(spark):
+    """Repetitive text must compress far below random-ish text, values must
+    equal the python zlib replica exactly, and empty text must not divide
+    by zero."""
+    import zlib
+
+    from list_extractor_spark.tda.textstats import compression_ratio
+
+    rep = "spam ham " * 200
+    mixed = "the quick brown fox jumps over the lazy dog once only here now"
+    docs = spark.createDataFrame(
+        [("r", rep), ("m", mixed), ("e", "")], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["compression_ratio"])
+        for r in compression_ratio(docs).collect()
+    }
+    for d, t in (("r", rep), ("m", mixed), ("e", "")):
+        b = t.encode("utf-8")
+        assert got[d] == (len(b), round(len(zlib.compress(b, 6)) / max(len(b), 1), 6))
+    assert got["r"][1] < 0.05 < got["m"][1]
+    with pytest.raises(ValueError):
+        compression_ratio(docs, level=0)
+
+
 def test_repetition_signals_fractions(spark):
     docs = spark.createDataFrame(
         [("a", "x y x y x"), ("b", "u v w z"), ("c", "solo")],
