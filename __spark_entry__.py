@@ -444,6 +444,19 @@ def _minhash_pairs(spark, sf_dir):
     )
 
 
+def _dedup_containment(spark, sf_dir):
+    """Asymmetric subset-duplication pairs
+    (tda/dedup.shingle_containment_pairs): containment = common /
+    min(|A|,|B|) catches docs embedded in larger ones where Jaccard
+    dilutes; jaccard rides along to split twins from subsets."""
+    return dedup.shingle_containment_pairs(
+        _load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ),
+        n=3, threshold=0.3, df_cap=50,
+    )
+
+
 def _incremental_sides(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
@@ -1525,13 +1538,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": _kg_components,
         # NEW (late r6): the snapshot-log table format itself, oracle-graded
         "kg_snapshot_roundtrip": _kg_snapshot_roundtrip,
-        # training-data ops
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        # training-data ops (dedup_minhash_lsh -> shadow: green r2-r5 AND
+        # its full pair pipeline re-runs INSIDE the graded
+        # dedup_resolve_minhash / dedup_corpus_minhash below)
         "dedup_resolve_minhash": _dedup_resolve_minhash,
         "dedup_corpus_minhash": _dedup_corpus_minhash,
         # NEW (late r6): continuous-ingestion dedup (batch vs corpus)
+        # + asymmetric containment pairs
         "dedup_incremental": _dedup_incremental,
         "dedup_incoming": _dedup_incoming,
+        "dedup_containment": _dedup_containment,
         # NEW this round: exact-substring span dedup (Lee et al. 2022)
         "dedup_span_windows": _dedup_span_windows,
         "dedup_span_removal": _dedup_span_removal,
@@ -1601,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _sim_topk,
         "kg_candidates": _kg_candidates,
         "kg_parse_items": _kg_parse_items,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_fingerprint": _dedup_fingerprint,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "text_winnow_fingerprint": _text_winnow_fingerprint,
@@ -1745,6 +1762,33 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
             FROM documents
+        """,
+        # containment twin of the shingle-Jaccard oracle: same posting CTE,
+        # least() denominator; jaccard column rides along
+        "dedup_containment": r"""
+            WITH toks AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, len(t)-2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+              FROM toks
+            ), posting AS (
+              SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM sh
+            ), capped AS (
+              SELECT * FROM posting QUALIFY count(*) OVER (PARTITION BY sh) <= 50
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(count(*) / least(any_value(a.n), any_value(b.n)), 6)
+                     AS containment,
+                   round(count(*) / (any_value(a.n) + any_value(b.n) - count(*)), 6)
+                     AS jaccard
+            FROM capped a JOIN capped b USING (sh)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING round(count(*) / least(any_value(a.n), any_value(b.n)), 6) >= 0.3
         """,
         "dedup_shingle_jaccard": r"""
             WITH toks AS (

@@ -169,6 +169,49 @@ def shingle_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+    posting_strategy: str = "window",
+) -> DataFrame:
+    """Asymmetric near-dup: shingle containment C = |A∩B| / min(|A|, |B|) —
+    the signal that catches a document EMBEDDED in a larger one (quote
+    farms, scraped aggregations, doc+boilerplate wrappers), where symmetric
+    Jaccard dilutes toward |small|/|large| and slips under any reasonable
+    threshold.  Same inverted-index machinery as shingle_jaccard_pairs
+    (posting self-join, hub-shingle df cap, exact set sizes pre-cap).
+
+    Output: (doc_a, doc_b, containment, jaccard) with doc_a < doc_b — the
+    jaccard column rides along so consumers can split true twins
+    (both high) from subset pairs (containment high, jaccard low)."""
+    posting = shingle_posting(documents, n, strategy=posting_strategy)
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+    capped = _cap_postings(posting, "sh", df_cap)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+        # per-document sizes table: unhinted join (see shingle_jaccard_pairs)
+        .join(sizes.selectExpr("doc_id as doc_a", "n as n_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id as doc_b", "n as n_b"), "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.least("n_a", "n_b"), 6),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = 0.5, df_cap: int | None = None
 ) -> DataFrame:

@@ -740,6 +740,27 @@ def test_mix_sources_solves_rates_and_matches_replica(spark):
         mix_sources(docs, {"A": 0.0})
 
 
+def test_containment_catches_embedded_document(spark):
+    """A small doc fully embedded in a large one must score containment 1.0
+    while its Jaccard dilutes below the symmetric threshold — the case the
+    asymmetric metric exists for."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [("big", big), ("small", small), ("other", "completely unrelated words here")],
+        "doc_id string, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in dedup.shingle_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert set(rows) == {("big", "small")}
+    c, j = rows[("big", "small")]
+    assert c == 1.0 and j < 0.2  # Jaccard would have missed this pair
+    # symmetric jaccard at the same bar finds nothing
+    assert dedup.shingle_jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
 def test_minhash_incremental_never_pairs_corpus_with_corpus(spark):
     """The ingestion join shape: corpus x corpus near-dups must NOT appear
     (their dedup already happened when they were committed); cross-side and
