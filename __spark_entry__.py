@@ -106,6 +106,18 @@ def _kg_components(spark, sf_dir):
     )
 
 
+def _kg_nhop(spark, sf_dir):
+    """BFS n-hop neighborhood of the graph's hub entity
+    (engine/graphstats.nhop_neighborhood) — the subgraph-extraction surface:
+    frontier-expansion joins, edges localCheckpoint'd once, fixed round
+    count.  VALUES oracle from the python BFS replica (kg_nhop_rows)."""
+    from list_extractor_spark.engine.graphstats import nhop_neighborhood
+
+    return nhop_neighborhood(
+        run_pipeline(spark, _fixture_documents(spark), make_snapshots()), hops=3
+    )
+
+
 def _kg_snapshot_roundtrip(spark, sf_dir):
     """The versioned graph table under the driver's eye: commit the fixture
     KG to a snapshot-log table (engine/snapshots.write_graph_snapshot),
@@ -721,6 +733,19 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(_load(spark, sf_dir, "events"), gap_sec=28800)
 
 
+def _q_funnel(spark, sf_dir):
+    """Ordered event funnel signup -> view -> click -> purchase
+    (tda/sessionize.funnel): sequential reached-at timestamps as cascading
+    conditional-min windows over ONE user-keyed exchange, rolled up to a
+    4-row conversion table with stack() — no k-way self-join."""
+    from list_extractor_spark.tda.sessionize import funnel
+
+    return funnel(
+        _load(spark, sf_dir, "events"),
+        steps=["signup", "view", "click", "purchase"],
+    )
+
+
 def _text_tfidf(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (tda/retrieval.tfidf_top_terms):
     inverted-index tf/df aggregation, size-gated idf broadcast join,
@@ -1141,6 +1166,18 @@ def _sim_ivf_topk(spark, sf_dir):
     )
 
 
+def _sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace Lloyd
+    codebooks (tda/similarity.pq_codebooks, shared with the oracle
+    generator), one narrow mapInPandas encode pass, then ADC top-k where the
+    lookup is pure JVM element_at over literal LUT arrays — the memory-
+    compressed serving path (64x smaller than raw vectors at m=4)."""
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    books = similarity.pq_codebooks(emb, m=4, ksub=16, iters=5, sample=4096)
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_adc_topk(codes, _query_vector(sf_dir), books, k=10)
+
+
 def _sim_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cells via the IVF coarse quantizer, cosine pairs
     within cells only (tda/similarity.semantic_dedup_pairs) — the quadratic
@@ -1513,6 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _sim_lsh_topk,
         "sim_lsh_topk_multiprobe": _sim_lsh_topk_multiprobe,
         "sim_ivf_topk": _sim_ivf_topk,
+        # NEW (late r6): product-quantization ADC top-k
+        "sim_pq_topk": _sim_pq_topk,
         "sim_near_dup": _sim_near_dup,
         "sim_near_dup_lsh": _sim_near_dup_lsh,
         "media_stats": _media_stats,
@@ -1520,9 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _media_resize,
         "media_frames": _media_frames,
         # streaming surfaces (most expensive — keep well clear of the tail)
-        "stream_kg_extract": _stream_kg_extract,
         "stream_kg_canonical": _stream_kg_canonical,
-        "stream_windowed_events": _stream_windowed_events,
         "stream_hypertable_rollup": _stream_hypertable_rollup,
         "stream_stateful_dedup": _stream_stateful_dedup,
         "stream_text_quality": _stream_text_quality,
@@ -1530,12 +1567,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _stream_sessionize,
         # NEW (late r6): 8th streaming surface — versioned-table sink
         "stream_kg_versioned": _stream_kg_versioned,
-        # KG pipeline stages (span corpus synthesized per input_hint)
-        "kg_spanified_triples": _kg_spanified_triples,
         # NEW this round: graph analytics over the materialized KG
         "kg_degree_stats": _kg_degree_stats,
         "kg_pagerank": _kg_pagerank,
         "kg_components": _kg_components,
+        # NEW (late r6): BFS n-hop neighborhood (subgraph extraction)
+        "kg_nhop": _kg_nhop,
         # NEW (late r6): the snapshot-log table format itself, oracle-graded
         "kg_snapshot_roundtrip": _kg_snapshot_roundtrip,
         # training-data ops (dedup_minhash_lsh -> shadow: green r2-r5 AND
@@ -1574,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_numeric": _q_profile_numeric,
         # NEW this round: gap-based sessionization + quantile profile
         "q_sessionize": _q_sessionize,
+        # NEW (late r6): ordered conversion funnel over the same exchange
+        "q_funnel": _q_funnel,
         "q_profile_quantiles": _q_profile_quantiles,
         # ---- grading budget boundary (entry 50 ends above) ----
         # shadow tail: simple relational checklist + basic text stats, all
@@ -1607,6 +1646,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kg_parse_items (green r3-r5): rotated out for the NEW
         # text_compression — parse semantics stay anchored by kg_pipeline,
         # the parser unit tests, and the golden-page gate
+        # stream_kg_extract (green r3-r5), stream_windowed_events (green
+        # r3-r5), kg_spanified_triples (green r4-r5): rotated out for the
+        # NEW sim_pq_topk / kg_nhop / q_funnel — extract streaming stays
+        # graded via stream_kg_canonical/stream_kg_versioned, windowed
+        # state via stream_sessionize/stream_hypertable_rollup, and the
+        # span contract via kg_pipeline (which parses the same spanified
+        # fixture corpus)
+        "stream_kg_extract": _stream_kg_extract,
+        "stream_windowed_events": _stream_windowed_events,
+        "kg_spanified_triples": _kg_spanified_triples,
         "kg_metrics": _kg_metrics,
         "kg_accuracy": _kg_accuracy,
         "kg_canonical_map": _kg_canonical_map,
@@ -2048,6 +2097,51 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, session_idx, count(*) AS n_events,
                    min(ts) AS start_ts, max(ts) AS end_ts
             FROM s GROUP BY 1, 2
+        """,
+        # funnel: each step's reached-at = earliest event of that type
+        # at-or-after the previous step's reached-at, per user; counts are
+        # count(non-null); ratios rounded 6 dp in both engines
+        "q_funnel": """
+            WITH u1 AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+              FROM events GROUP BY user_id
+            ), u2 AS (
+              SELECT e.user_id,
+                     min(CASE WHEN event_type = 'view' AND e.ts >= u1.t1
+                              THEN e.ts END) AS t2
+              FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id
+            ), u3 AS (
+              SELECT e.user_id,
+                     min(CASE WHEN event_type = 'click' AND e.ts >= u2.t2
+                              THEN e.ts END) AS t3
+              FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id
+            ), u4 AS (
+              SELECT e.user_id,
+                     min(CASE WHEN event_type = 'purchase' AND e.ts >= u3.t3
+                              THEN e.ts END) AS t4
+              FROM events e JOIN u3 USING (user_id) GROUP BY e.user_id
+            ), c AS (
+              SELECT (SELECT count(t1) FROM u1) AS n1,
+                     (SELECT count(t2) FROM u2) AS n2,
+                     (SELECT count(t3) FROM u3) AS n3,
+                     (SELECT count(t4) FROM u4) AS n4
+            )
+            SELECT 1 AS step, 'signup' AS event_type, n1 AS users,
+                   round(CAST(n1 AS DOUBLE) / nullif(n1, 0), 6) AS conv_overall,
+                   CAST(NULL AS DOUBLE) AS conv_prev FROM c
+            UNION ALL
+            SELECT 2, 'view', n2,
+                   round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 6),
+                   round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 6) FROM c
+            UNION ALL
+            SELECT 3, 'click', n3,
+                   round(CAST(n3 AS DOUBLE) / nullif(n1, 0), 6),
+                   round(CAST(n3 AS DOUBLE) / nullif(n2, 0), 6) FROM c
+            UNION ALL
+            SELECT 4, 'purchase', n4,
+                   round(CAST(n4 AS DOUBLE) / nullif(n1, 0), 6),
+                   round(CAST(n4 AS DOUBLE) / nullif(n3, 0), 6) FROM c
         """,
         # TF-IDF / BM25 / repetition: same tokenizer CTE as text_top_ngrams;
         # scores round to 6 dp and ORDER BY the rounded value in both

@@ -185,3 +185,70 @@ def connected_components(
     return members.join(maybe_broadcast(sizes), "component_id").select(
         "entity", "component_id", "component_size"
     )
+
+
+def hub_entity(edges: DataFrame) -> str:
+    """The highest-degree node of an undirected edge list (ties to the
+    lexically smallest IRI) — the deterministic default BFS seed.  One tiny
+    count-aggregate + TakeOrdered(1); the single-row collect is bounded by
+    construction."""
+    row = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .count()
+        .orderBy(F.desc("count"), F.asc("node"))
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        raise ValueError("hub_entity: empty edge list")
+    return row[0]["node"]
+
+
+def nhop_neighborhood(
+    triples: DataFrame, hops: int = 3, seed: str | None = None
+) -> DataFrame:
+    """BFS neighborhood of ``seed`` over the entity graph, edges treated
+    undirected: (entity, hop) for every node within ``hops`` of the seed,
+    hop = exact BFS distance (seed itself at hop 0).  ``seed=None`` picks
+    the graph's hub entity — the subgraph-extraction op a KG serving layer
+    runs constantly ("give me everything within 2 hops of X").
+
+    Scale shape: frontier-expansion BFS — per hop, ONE equi-join of the
+    (tiny) frontier against the edge table keyed on src, then one anti-join
+    against the visited set; the edge table is localCheckpoint'd once in
+    undirected form so the upstream extract plan never re-runs, and the
+    visited/frontier sets re-checkpoint per round to keep lineage flat
+    (the same loop discipline as pagerank / the CC resolver).  A fixed
+    ``hops`` bound keeps the round count static — no driver-side
+    convergence probe on the hot path."""
+    if hops < 0:
+        raise ValueError(f"nhop_neighborhood: hops must be >= 0, got {hops}")
+    e = entity_edges(triples)
+    und = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if seed is None:
+        seed = hub_entity(und)
+    spark = triples.sparkSession
+    visited = spark.createDataFrame(
+        [(seed, 0)], schema="entity string, hop int"
+    ).localCheckpoint(eager=False)
+    frontier = visited
+    for h in range(1, hops + 1):
+        nxt = (
+            und.join(
+                frontier.select(F.col("entity").alias("src")).distinct(), "src"
+            )
+            .select(F.col("dst").alias("entity"))
+            .distinct()
+            .join(visited.select("entity"), "entity", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

@@ -303,6 +303,34 @@ def kg_components_rows():
     return sorted((e, c, sizes[c]) for e, c in comp.items())
 
 
+def kg_nhop_rows(hops: int = 3):
+    """engine/graphstats.nhop_neighborhood replica: undirected-distinct entity
+    edges, seed = hub (max degree over the deduped directed-pair list, ties
+    to the lexically smallest IRI — the exact hub_entity rule), plain BFS."""
+    from collections import Counter, defaultdict
+
+    edges = [(s, o) for (s, _p, o, dt) in _oracle_triple_list() if dt is None]
+    und = set()
+    for s, o in edges:
+        und.add((s, o))
+        und.add((o, s))
+    deg: Counter = Counter()
+    adj = defaultdict(set)
+    for s, o in und:
+        deg[s] += 1
+        deg[o] += 1
+        adj[s].add(o)
+    seed = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    dist = {seed: 0}
+    frontier = {seed}
+    for h in range(1, hops + 1):
+        nxt = {n for f in frontier for n in adj[f]} - dist.keys()
+        for n in nxt:
+            dist[n] = h
+        frontier = nxt
+    return sorted(dist.items())
+
+
 def kg_canonical_map_rows():
     snaps = make_snapshots()
     cmap = canonical_map(build_edges(snaps["redirects"], snaps["sameas"]))
@@ -977,6 +1005,65 @@ def ivf_topk_sql(sf_dir: str, k_cents: int = 16, iters: int = 5,
     """
 
 
+def pq_topk_sql(sf_dir: str, m: int = 4, ksub: int = 16, iters: int = 5,
+                sample: int = 4096, k: int = 10) -> str:
+    """PQ ADC oracle: codebooks from the SAME Lloyd loop as the Spark trainer
+    (tda/similarity.pq_codebooks), per-subspace assignment as a first-argmin
+    CASE cascade over codeword-literal L2 scores on embedding SLICES, and the
+    ADC contribution inlined as the literal lut value the shared pq_adc_lut
+    computes — so the final adc_score is the identical float sum on both
+    engines."""
+    import duckdb
+
+    from ..tda.similarity import lloyd_centroids, pq_adc_lut
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{emb_path}' WHERE vec_id != 0 "
+        f"ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    vecs = [[float(v) for v in r[0]] for r in rows]
+    dim = len(vecs[0])
+    dsub = dim // m
+    books = [
+        lloyd_centroids([v[mi * dsub:(mi + 1) * dsub] for v in vecs], ksub, iters)
+        for mi in range(m)
+    ]
+    (qvec,) = duckdb.sql(
+        f"SELECT embedding FROM '{emb_path}' WHERE vec_id = 0"
+    ).fetchone()
+    lut = pq_adc_lut([float(v) for v in qvec], books)
+
+    score_cols, picks = [], []
+    for mi, book in enumerate(books):
+        a, b = mi * dsub + 1, (mi + 1) * dsub  # 1-based inclusive slice
+        for j, c in enumerate(book):
+            score_cols.append(
+                f"-2 * list_dot_product((CAST(embedding AS DOUBLE[]))[{a}:{b}],"
+                f" {_plane_sql(c)}) + {repr(sum(v * v for v in c))} AS s{mi}_{j}"
+            )
+        whens = []
+        for j in range(ksub - 1):
+            rest = ", ".join(f"s{mi}_{i}" for i in range(j + 1, ksub))
+            least = f"least({rest})" if j + 1 < ksub - 1 else rest
+            whens.append(f"WHEN s{mi}_{j} <= {least} THEN {repr(lut[mi][j])}")
+        picks.append(
+            "CASE " + " ".join(whens) + f" ELSE {repr(lut[mi][ksub - 1])} END"
+        )
+    adc = " + ".join(f"({p})" for p in picks)
+    scores_sql = ",\n".join(score_cols)
+    return f"""
+        WITH scored AS (
+          SELECT vec_id, {scores_sql}
+          FROM embeddings WHERE vec_id != 0
+        )
+        SELECT vec_id, round({adc}, 4) AS adc_score
+        FROM scored
+        ORDER BY adc_score DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
 def _media_type(doc_id: str) -> str:
     m = int(doc_id) % 3
     return "image" if m == 0 else ("audio" if m == 1 else "video")
@@ -1080,6 +1167,7 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
         "sim_lsh_topk_multiprobe": lsh_topk_sql(sf_dir, n_probe_buckets=3),
         "sim_near_dup_lsh": near_dup_lsh_sql(),
         "sim_ivf_topk": ivf_topk_sql(sf_dir),
+        "sim_pq_topk": pq_topk_sql(sf_dir),
         "sim_semantic_dedup": semantic_dedup_sql(sf_dir),
         "sim_semantic_resolve": semantic_resolve_sql(sf_dir),
     }
@@ -1112,6 +1200,10 @@ def kg_oracle_sql(sf_dir: str) -> dict[str, str]:
             kg_components_rows(),
             [("entity", "VARCHAR"), ("component_id", "VARCHAR"),
              ("component_size", "BIGINT")],
+        ),
+        "kg_nhop": values_sql(
+            kg_nhop_rows(),
+            [("entity", "VARCHAR"), ("hop", "INTEGER")],
         ),
         "kg_candidates": values_sql(
             kg_candidates_rows(),

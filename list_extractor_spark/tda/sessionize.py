@@ -57,3 +57,73 @@ def sessionize(
         F.min(ts_col).alias("start_ts"),
         F.max(ts_col).alias("end_ts"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_to: int = 6,
+) -> DataFrame:
+    """Ordered event funnel: for each step k, the number of users who reached
+    it IN SEQUENCE — a user reaches step k at the earliest event of that type
+    at-or-after the timestamp at which they reached step k-1 (the standard
+    product-analytics funnel; ties at the exact same timestamp count, so an
+    event stream with equal timestamps for consecutive steps still converts).
+
+    Output: (step:int 1-based, event_type, users, conv_overall, conv_prev),
+    conversion ratios rounded half-up to ``round_to`` (NULL when the
+    denominator step had zero users).
+
+    Scale shape: ONE exchange on the user key, then every per-step "earliest
+    at-or-after" is a conditional min WINDOW over that same partitioning —
+    the cascade t_k = min(ts WHERE type=step_k AND ts >= t_{k-1}) OVER
+    (PARTITION BY user) runs as in-partition passes with no further shuffle,
+    and the final rollup is one tiny global aggregate emitted with stack().
+    No self-joins (the naive k-way join form shuffles the event table k
+    times); hot users cost an in-partition scan, handled by AQE skew split
+    on the single exchange."""
+    if not steps:
+        raise ValueError("funnel: need at least one step")
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, ts_col, type_col)
+    prev_t = None
+    tcols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == F.lit(step)
+        if prev_t is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev_t))
+        name = f"_t{i}"
+        df = df.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        tcols.append(name)
+        prev_t = name
+    per_user = df.groupBy(user_col).agg(
+        *[F.first(c).alias(c) for c in tcols]
+    )
+    counts = per_user.agg(
+        *[F.count(c).alias(f"_n{i}") for i, c in enumerate(tcols)]
+    )
+    rows = ", ".join(
+        f"{i + 1}, '{s}', _n{i}" for i, s in enumerate(steps)
+    )
+    stacked = counts.select(
+        F.expr(
+            f"stack({len(steps)}, {rows}) AS (step, event_type, users)"
+        )
+    )
+    w0 = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    first_users = F.first("users").over(w0)
+    prev_users = F.lag("users").over(Window.orderBy("step"))
+    return stacked.select(
+        "step",
+        "event_type",
+        "users",
+        F.round(F.col("users") / F.nullif(first_users, F.lit(0)), round_to)
+        .alias("conv_overall"),
+        F.round(F.col("users") / F.nullif(prev_users, F.lit(0)), round_to)
+        .alias("conv_prev"),
+    )

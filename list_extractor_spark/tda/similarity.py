@@ -541,3 +541,130 @@ def semantic_dedup(
         cell_cap=cell_cap, target_cell=target_cell,
     ).selectExpr("id_a as doc_a", "id_b as doc_b")
     return near_dup_resolve(pairs)
+
+
+# -- Product quantization (PQ) ANN --------------------------------------------
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = 4, ksub: int = 16,
+                 iters: int = 5, sample: int = 4096):
+    """Per-subspace PQ codebooks (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): the embedding dimension is split
+    into ``m`` contiguous subvectors and each subspace gets its own
+    ``ksub``-word codebook from the SAME deterministic Lloyd loop the IVF
+    coarse quantizer uses (lloyd_centroids — shared with the contract-oracle
+    generator, so both sides train bit-identical codebooks).
+
+    Trained driver-side on a bounded sample (orderBy vec_id limit N —
+    deterministic regardless of partitioning), exactly like
+    kmeans_centroids.  Returns list[m][ksub][dsub] of plain python floats
+    (tiny: ships as literals / closure state, never a shuffle)."""
+    rows = embeddings.orderBy("vec_id").limit(sample).select("embedding").collect()
+    vecs = [list(map(float, r["embedding"])) for r in rows]
+    if not vecs:
+        raise ValueError("pq_codebooks: empty embedding sample")
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        lloyd_centroids([v[mi * dsub:(mi + 1) * dsub] for v in vecs], ksub, iters)
+        for mi in range(m)
+    ]
+
+
+def pq_encode(embeddings: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, codes:array<int>) — per subspace, the L2-nearest codeword
+    index, computed as argmin(-2 x_sub·c + ||c||^2) with one numpy matmul per
+    (Arrow batch, subspace).  A narrow zero-shuffle pass, same shape as
+    ivf_assign.
+
+    This is THE scale lever of PQ: a 64-dim float corpus (256 B/vector)
+    compresses to m int8-sized codes (m=4 -> 4 B/vector, 64x), so the code
+    table for 10^9 vectors fits a handful of executors and an ADC scan of the
+    FULL corpus is memory-bandwidth cheap — no probe-time access to the raw
+    vectors at all."""
+    import numpy as np
+
+    cb = [[list(map(float, c)) for c in book] for book in codebooks]
+    m = len(cb)
+    dsub = len(cb[0][0])
+    schema = T.StructType([
+        embeddings.schema["vec_id"],
+        T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+    ])
+
+    def run(batches):
+        books = np.array(cb, dtype="float64")          # m x ksub x dsub
+        norm2 = (books * books).sum(axis=2)            # m x ksub
+        for pdf in batches:
+            if not len(pdf):                           # Arrow: empty batch would
+                continue                               # mistype list<int32>
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            codes = np.empty((len(x), m), dtype="int32")
+            for mi in range(m):
+                xs = x[:, mi * dsub:(mi + 1) * dsub]
+                codes[:, mi] = (
+                    -2.0 * (xs @ books[mi].T) + norm2[mi]
+                ).argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=schema)
+
+
+def pq_adc_lut(query, codebooks):
+    """m x ksub asymmetric-distance lookup table: the query subvector's inner
+    product with every codeword (driver-side, tiny).  Sequential python sums
+    (like ivf_probe_centroids) so the oracle generator can inline the SAME
+    float literals."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = []
+    for mi, book in enumerate(codebooks):
+        qs = [float(v) for v in query[mi * dsub:(mi + 1) * dsub]]
+        lut.append([sum(a * b for a, b in zip(qs, c)) for c in book])
+    return lut
+
+
+def pq_adc_topk(codes: DataFrame, query, codebooks, k: int = 10) -> DataFrame:
+    """ADC top-k over a PQ-encoded corpus: score(vec) = sum_m lut[m][code_m],
+    the classic asymmetric-distance inner-product approximation.  The lookup
+    is pure JVM — element_at over an m-literal-array LUT (no UDF, no join,
+    whole-stage codegen) — followed by TakeOrderedAndProject; the scan reads
+    ONLY the code table, never the raw vectors."""
+    from functools import reduce
+    from operator import add
+
+    lut = pq_adc_lut(query, codebooks)
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut[mi]]),
+            F.col("codes").getItem(mi) + F.lit(1),
+        )
+        for mi in range(len(lut))
+    ]
+    return (
+        codes.select(
+            "vec_id", F.round(reduce(add, terms), 4).alias("adc_score")
+        )
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame, codes: DataFrame, query, codebooks,
+    k: int = 10, shortlist: int | None = None,
+) -> DataFrame:
+    """The full PQ serving pattern: ADC over the compressed code table picks
+    a ``shortlist`` (default 4k) of candidates, then ONLY those raw vectors
+    are fetched and exactly re-ranked by cosine (brute_force_topk on the
+    pruned set).  ADC alone resolves to code granularity — near-identical
+    vectors share a code and tie — so the re-rank step is what buys exact
+    ordering while still never scanning raw vectors beyond the shortlist.
+    The shortlist join broadcasts ~4k ids: bounded by construction."""
+    shortlist = shortlist or 4 * k
+    short = pq_adc_topk(codes, query, codebooks, k=shortlist).select("vec_id")
+    return brute_force_topk(
+        embeddings.join(F.broadcast(short), "vec_id"), query, k
+    )

@@ -163,3 +163,69 @@ class TestConnectedComponents:
         assert fast == dist
         sizes = {c: s for _, c, s in fast}
         assert max(sizes.values()) == 717 and len(sizes) == 21
+
+
+# ------------------------------------------------------------- nhop BFS
+
+
+class TestNhopNeighborhood:
+    def test_chain_hand_values(self, spark):
+        from list_extractor_spark.engine.graphstats import nhop_neighborhood
+
+        t = spark.createDataFrame(
+            [("A", "p", "B", None), ("B", "p", "C", None),
+             ("C", "p", "D", None), ("D", "p", "E", None)],
+            SCHEMA,
+        )
+        got = {
+            (r["entity"], r["hop"])
+            for r in nhop_neighborhood(t, hops=2, seed="A").collect()
+        }
+        # undirected BFS: E is 4 hops out, excluded at hops=2
+        assert got == {("A", 0), ("B", 1), ("C", 2)}
+
+    def test_undirected_and_hub_seed_tiebreak(self, spark):
+        from list_extractor_spark.engine.graphstats import (
+            hub_entity, nhop_neighborhood,
+        )
+
+        # star around Z (degree 3) reached AGAINST edge direction from leaves;
+        # B ties nobody — Z is the unique hub
+        t = spark.createDataFrame(
+            [("A", "p", "Z", None), ("B", "p", "Z", None),
+             ("C", "p", "Z", None)],
+            SCHEMA,
+        )
+        got = {
+            (r["entity"], r["hop"])
+            for r in nhop_neighborhood(t, hops=1).collect()
+        }
+        assert got == {("Z", 0), ("A", 1), ("B", 1), ("C", 1)}
+        # degree tie (A-B edge only): lexically smallest wins
+        t2 = spark.createDataFrame([("B", "p", "A", None)], SCHEMA)
+        from list_extractor_spark.engine.graphstats import entity_edges
+
+        assert hub_entity(entity_edges(t2)) == "A"
+
+    def test_hops_zero_and_validation(self, spark):
+        from list_extractor_spark.engine.graphstats import nhop_neighborhood
+
+        t = spark.createDataFrame([("A", "p", "B", None)], SCHEMA)
+        assert [tuple(r) for r in nhop_neighborhood(t, hops=0, seed="A").collect()] == [
+            ("A", 0)
+        ]
+        with pytest.raises(ValueError, match="hops"):
+            nhop_neighborhood(t, hops=-1)
+
+    def test_matches_python_bfs_on_fixture_graph(self, spark):
+        """Spark frontier BFS == the oracle replica on the full fixture KG
+        (parallel edges, cycles, a 717-node giant component)."""
+        from list_extractor_spark.fixtures.contract_oracle import kg_nhop_rows
+
+        import __spark_entry__ as entry
+
+        got = sorted(
+            (r["entity"], r["hop"])
+            for r in entry.queries()["kg_nhop"](spark, None).collect()
+        )
+        assert got == kg_nhop_rows(hops=3)

@@ -1518,3 +1518,71 @@ def test_unigram_logprob_hand_values(spark):
     assert rows["b"]["n_tokens"] == 2 and rows["b"]["avg_logprob"] == b
     # the rarer-token doc is less probable under the corpus LM
     assert rows["b"]["avg_logprob"] < rows["a"]["avg_logprob"]
+
+
+# ------------------------------------------------------------- funnel
+
+
+def test_funnel_hand_values(spark):
+    from datetime import datetime
+
+    from list_extractor_spark.tda.sessionize import funnel
+
+    t = lambda h: datetime(2026, 1, 1, h)  # noqa: E731
+    events = spark.createDataFrame(
+        [
+            # user 1: full ordered sequence
+            (1, t(0), "signup"), (1, t(1), "view"), (1, t(2), "purchase"),
+            # user 2: view BEFORE signup only -> stops at step 1 (sequence
+            # matters: the pre-signup view must not count)
+            (2, t(0), "view"), (2, t(1), "signup"),
+            # user 3: signup+view at the SAME timestamp -> tie converts
+            (3, t(0), "signup"), (3, t(0), "view"),
+            # user 4: never signed up -> reaches nothing
+            (4, t(0), "view"), (4, t(1), "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = {
+        r["step"]: r
+        for r in funnel(events, steps=["signup", "view", "purchase"]).collect()
+    }
+    assert [rows[s]["users"] for s in (1, 2, 3)] == [3, 2, 1]
+    assert rows[1]["conv_overall"] == 1.0 and rows[1]["conv_prev"] is None
+    assert rows[2]["conv_overall"] == round(2 / 3, 6)
+    assert rows[3]["conv_prev"] == 0.5
+    assert rows[2]["event_type"] == "view"
+
+
+def test_funnel_empty_step_gives_null_downstream_conv(spark):
+    from datetime import datetime
+
+    from list_extractor_spark.tda.sessionize import funnel
+
+    events = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1), "signup")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = {
+        r["step"]: r for r in funnel(events, steps=["signup", "view", "purchase"]).collect()
+    }
+    assert rows[2]["users"] == 0 and rows[2]["conv_overall"] == 0.0
+    # step 3's conv_prev divides by step 2's ZERO users -> NULL, not a crash
+    assert rows[3]["conv_prev"] is None
+
+
+def test_funnel_validation_and_single_user_exchange(spark):
+    import pytest as _pytest
+
+    from list_extractor_spark.tda.sessionize import funnel
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with _pytest.raises(ValueError, match="step"):
+        funnel(events, steps=[])
+    plan = (
+        funnel(events, steps=["signup", "view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # ONE user-keyed exchange feeds the whole step cascade; the only other
+    # exchanges are the tiny global-rollup single partitions
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
