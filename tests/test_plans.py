@@ -509,3 +509,20 @@ def test_tfidf_idf_join_degrades_to_shuffle_past_threshold(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == want and got
+
+
+def test_pq_adc_scoring_is_jvm_only_takeordered(spark):
+    """The ADC probe must never leave the JVM: encode is the ONE python
+    (Arrow) pass; the scoring stage over the code table is literal-array
+    element_at lookups + TakeOrderedAndProject — no second python worker,
+    no join, no exchange beyond the top-k."""
+    from list_extractor_spark.tda import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = similarity.pq_codebooks(emb, m=4, ksub=16, iters=1, sample=256)
+    codes = similarity.pq_encode(emb, books)
+    q = [0.1] * 64
+    plan = _plan(similarity.pq_adc_topk(codes, q, books, k=10))
+    assert plan.count("MapInPandas") + plan.count("mapInPandas") == 1  # encode only
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Exchange hashpartitioning" not in plan
