@@ -1486,6 +1486,37 @@ def _stream_text_quality(spark, sf_dir):
     )
 
 
+def _stream_pq_encode(spark, sf_dir):
+    """Streaming ANN index maintenance (streaming/stream_ann.py): arriving
+    embedding batches PQ-encoded micro-batch by micro-batch into the code
+    table — codebooks trained once on a bounded batch sample, the encode
+    itself a stateless narrow pass, so the stream is batch-equivalent by
+    construction and grades against the per-vector codes SQL oracle
+    (codes flattened to int columns: arrays aren't driver-hashable)."""
+    import tempfile
+
+    from list_extractor_spark.streaming.stream_ann import (
+        stream_embeddings,
+        stream_pq_encode,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = similarity.pq_codebooks(emb, m=4, ksub=16, iters=5, sample=4096)
+
+    def _build(t):
+        emb.repartition(4).write.parquet(t)
+
+    src = _stage_once(sf_dir, "embeddings.parquet", "stream_embs", _build)
+    out = tempfile.mkdtemp(prefix="sg_streampq_out_")
+    ck = tempfile.mkdtemp(prefix="sg_streampq_ck_")
+    q = stream_pq_encode(stream_embeddings(spark, src), books, out, ck)
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "vec_id",
+        *[F.col("codes").getItem(i).alias(f"code_{i}") for i in range(4)],
+    )
+
+
 def _media_stats(spark, sf_dir):
     return multimodal.media_stats(
         multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
@@ -1567,6 +1598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _stream_sessionize,
         # NEW (late r6): 8th streaming surface — versioned-table sink
         "stream_kg_versioned": _stream_kg_versioned,
+        # NEW (late r6): 9th streaming surface — PQ code-table maintenance
+        "stream_pq_encode": _stream_pq_encode,
         # NEW this round: graph analytics over the materialized KG
         "kg_degree_stats": _kg_degree_stats,
         "kg_pagerank": _kg_pagerank,
@@ -1594,7 +1627,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_search": _text_bm25_search,
         "text_repetition": _text_repetition,
         "text_unigram_logprob": _text_unigram_logprob,
-        "text_quality_filter": _text_quality_filter,
         # NEW (late r6): domain-mixture weighting (solved keep rates)
         "text_mix_sources": _text_mix_sources,
         "text_chunk_documents": _text_chunk_documents,
@@ -1653,6 +1685,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # state via stream_sessionize/stream_hypertable_rollup, and the
         # span contract via kg_pipeline (which parses the same spanified
         # fixture corpus)
+        # text_quality_filter (green r5): rotated out for the NEW
+        # stream_pq_encode — its EXACT semantics stay graded twice in the
+        # prefix (stream_text_quality shares its SQL oracle verbatim, and
+        # the quality stage runs inside text_curate_pipeline)
+        "text_quality_filter": _text_quality_filter,
         "stream_kg_extract": _stream_kg_extract,
         "stream_windowed_events": _stream_windowed_events,
         "kg_spanified_triples": _kg_spanified_triples,

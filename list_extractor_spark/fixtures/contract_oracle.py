@@ -1064,6 +1064,53 @@ def pq_topk_sql(sf_dir: str, m: int = 4, ksub: int = 16, iters: int = 5,
     """
 
 
+def pq_codes_sql(sf_dir: str, m: int = 4, ksub: int = 16, iters: int = 5,
+                 sample: int = 4096) -> str:
+    """Per-vector PQ codes oracle (grades the streaming encode surface):
+    codebooks from the shared Lloyd loop trained on the FULL table sample,
+    per-subspace code = the same first-argmin CASE cascade as pq_topk_sql
+    but returning the codeword INDEX, flattened to one int column per
+    subspace (arrays are not hashable by the driver's canonicalizer)."""
+    import duckdb
+
+    from ..tda.similarity import lloyd_centroids
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{emb_path}' ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    vecs = [[float(v) for v in r[0]] for r in rows]
+    dim = len(vecs[0])
+    dsub = dim // m
+    books = [
+        lloyd_centroids([v[mi * dsub:(mi + 1) * dsub] for v in vecs], ksub, iters)
+        for mi in range(m)
+    ]
+    score_cols, code_cols = [], []
+    for mi, book in enumerate(books):
+        a, b = mi * dsub + 1, (mi + 1) * dsub
+        for j, c in enumerate(book):
+            score_cols.append(
+                f"-2 * list_dot_product((CAST(embedding AS DOUBLE[]))[{a}:{b}],"
+                f" {_plane_sql(c)}) + {repr(sum(v * v for v in c))} AS s{mi}_{j}"
+            )
+        whens = []
+        for j in range(ksub - 1):
+            rest = ", ".join(f"s{mi}_{i}" for i in range(j + 1, ksub))
+            least = f"least({rest})" if j + 1 < ksub - 1 else rest
+            whens.append(f"WHEN s{mi}_{j} <= {least} THEN {j}")
+        code_cols.append(
+            "CASE " + " ".join(whens) + f" ELSE {ksub - 1} END AS code_{mi}"
+        )
+    scores_sql = ",\n".join(score_cols)
+    return f"""
+        WITH scored AS (
+          SELECT vec_id, {scores_sql} FROM embeddings
+        )
+        SELECT vec_id, {", ".join(code_cols)} FROM scored
+    """
+
+
 def _media_type(doc_id: str) -> str:
     m = int(doc_id) % 3
     return "image" if m == 0 else ("audio" if m == 1 else "video")
@@ -1168,6 +1215,9 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
         "sim_near_dup_lsh": near_dup_lsh_sql(),
         "sim_ivf_topk": ivf_topk_sql(sf_dir),
         "sim_pq_topk": pq_topk_sql(sf_dir),
+        # the streaming encode is batch-equivalent by construction, so the
+        # per-vector code table IS its oracle
+        "stream_pq_encode": pq_codes_sql(sf_dir),
         "sim_semantic_dedup": semantic_dedup_sql(sf_dir),
         "sim_semantic_resolve": semantic_resolve_sql(sf_dir),
     }

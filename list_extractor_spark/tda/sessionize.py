@@ -87,6 +87,10 @@ def funnel(
     on the single exchange."""
     if not steps:
         raise ValueError("funnel: need at least one step")
+    for s in steps:
+        if "'" in s or "\\" in s:
+            # step names are spliced into the stack() SQL literal below
+            raise ValueError(f"funnel: step name {s!r} may not contain ' or \\")
     w = Window.partitionBy(user_col)
     df = events.select(user_col, ts_col, type_col)
     prev_t = None

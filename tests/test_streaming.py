@@ -445,3 +445,35 @@ def test_session_window_exact_gap_merges_like_batch(spark):
     )
     assert len(session_event_rollup(beyond, gap="8 hours").collect()) == 2
     assert len(sessionize(beyond, gap_sec=28800).collect()) == 2
+
+
+def test_stream_pq_encode_equals_batch(spark, tmp_path):
+    """The streaming PQ code maintenance (streaming/stream_ann.py) must emit
+    exactly the batch pq_encode codes: codebooks are a fixed driver-side
+    artifact and the encode is a stateless narrow pass, so streaming it is
+    plan reuse — micro-batch boundaries (maxFilesPerTrigger=2 over 4 files)
+    must not change a single code."""
+    from list_extractor_spark.streaming.stream_ann import (
+        stream_embeddings,
+        stream_pq_encode,
+    )
+    from list_extractor_spark.tda.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = pq_codebooks(emb, m=4, ksub=8, iters=3, sample=256)
+    src = str(tmp_path / "src")
+    emb.repartition(4).write.parquet(src)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = stream_pq_encode(stream_embeddings(spark, src), books, out, ck)
+    q.awaitTermination()
+    got = sorted(
+        (r["vec_id"], list(r["codes"]))
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["vec_id"], list(r["codes"])) for r in pq_encode(emb, books).collect()
+    )
+    assert got == want and got

@@ -1579,6 +1579,8 @@ def test_funnel_validation_and_single_user_exchange(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     with _pytest.raises(ValueError, match="step"):
         funnel(events, steps=[])
+    with _pytest.raises(ValueError, match="step"):
+        funnel(events, steps=["sign'up"])  # spliced into stack() SQL
     plan = (
         funnel(events, steps=["signup", "view", "click", "purchase"])
         ._jdf.queryExecution().executedPlan().toString()
