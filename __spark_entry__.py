@@ -1178,6 +1178,24 @@ def _sim_pq_topk(spark, sf_dir):
     return similarity.pq_adc_topk(codes, _query_vector(sf_dir), books, k=10)
 
 
+def _sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed index (tda/similarity.ivfpq_encode — the FAISS
+    IVF-PQ layout, raw-vector PQ variant): coarse cells + PQ codes built in
+    ONE narrow pass, materialized once partitioned by cell, probed as a
+    partition-pruned ADC scan that never touches raw vectors."""
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    cents = similarity.kmeans_centroids(emb, k=16, iters=5, sample=4096)
+    books = similarity.pq_codebooks(emb, m=4, ksub=16, iters=5, sample=4096)
+
+    def build(target):
+        similarity.write_ivfpq_index(emb, cents, books, target)
+
+    path = _stage_once(sf_dir, "embeddings.parquet", "ivfpq16", build)
+    return similarity.ivfpq_topk(
+        spark, path, cents, books, _query_vector(sf_dir), k=10, nprobe=2
+    )
+
+
 def _sim_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cells via the IVF coarse quantizer, cosine pairs
     within cells only (tda/similarity.semantic_dedup_pairs) — the quadratic
@@ -1581,8 +1599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _sim_lsh_topk,
         "sim_lsh_topk_multiprobe": _sim_lsh_topk_multiprobe,
         "sim_ivf_topk": _sim_ivf_topk,
-        # NEW (late r6): product-quantization ADC top-k
+        # NEW (late r6): product-quantization ADC top-k + the IVF-PQ
+        # composed index
         "sim_pq_topk": _sim_pq_topk,
+        "sim_ivfpq_topk": _sim_ivfpq_topk,
         "sim_near_dup": _sim_near_dup,
         "sim_near_dup_lsh": _sim_near_dup_lsh,
         "media_stats": _media_stats,
@@ -1611,7 +1631,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops (dedup_minhash_lsh -> shadow: green r2-r5 AND
         # its full pair pipeline re-runs INSIDE the graded
         # dedup_resolve_minhash / dedup_corpus_minhash below)
-        "dedup_resolve_minhash": _dedup_resolve_minhash,
         "dedup_corpus_minhash": _dedup_corpus_minhash,
         # NEW (late r6): continuous-ingestion dedup (batch vs corpus)
         # + asymmetric containment pairs
@@ -1690,6 +1709,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix (stream_text_quality shares its SQL oracle verbatim, and
         # the quality stage runs inside text_curate_pipeline)
         "text_quality_filter": _text_quality_filter,
+        # dedup_resolve_minhash (green r5): rotated out for the NEW
+        # sim_ivfpq_topk — the full resolve path (minhash pairs -> CC ->
+        # keep_min survivors) re-runs INSIDE the graded dedup_corpus_minhash,
+        # and the keep_longest policy twin stays graded (dedup_resolve_longest)
+        "dedup_resolve_minhash": _dedup_resolve_minhash,
         "stream_kg_extract": _stream_kg_extract,
         "stream_windowed_events": _stream_windowed_events,
         "kg_spanified_triples": _kg_spanified_triples,

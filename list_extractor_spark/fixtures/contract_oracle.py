@@ -1064,6 +1064,78 @@ def pq_topk_sql(sf_dir: str, m: int = 4, ksub: int = 16, iters: int = 5,
     """
 
 
+def ivfpq_topk_sql(sf_dir: str, k_cents: int = 16, m: int = 4, ksub: int = 16,
+                   iters: int = 5, sample: int = 4096, nprobe: int = 2,
+                   k: int = 10) -> str:
+    """IVF-PQ oracle: the ivf_topk_sql cell cascade composed with the
+    pq_topk_sql per-subspace code/LUT cascade — filter to the probe cells,
+    order by the inlined ADC score."""
+    import duckdb
+
+    from ..tda.similarity import (
+        ivf_probe_centroids,
+        lloyd_centroids,
+        pq_adc_lut,
+    )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{emb_path}' WHERE vec_id != 0 "
+        f"ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    vecs = [[float(v) for v in r[0]] for r in rows]
+    cents = lloyd_centroids(vecs, k_cents, iters)
+    dim = len(vecs[0])
+    dsub = dim // m
+    books = [
+        lloyd_centroids([v[mi * dsub:(mi + 1) * dsub] for v in vecs], ksub, iters)
+        for mi in range(m)
+    ]
+    (qvec,) = duckdb.sql(
+        f"SELECT embedding FROM '{emb_path}' WHERE vec_id = 0"
+    ).fetchone()
+    query = [float(v) for v in qvec]
+    probe = ivf_probe_centroids(query, cents, nprobe)
+    lut = pq_adc_lut(query, books)
+
+    cell_scores, cell_case = _argmin_cells_sql(cents)
+    sub_scores, picks = [], []
+    for mi, book in enumerate(books):
+        a, b = mi * dsub + 1, (mi + 1) * dsub
+        for j, c in enumerate(book):
+            sub_scores.append(
+                f"-2 * list_dot_product((CAST(embedding AS DOUBLE[]))[{a}:{b}],"
+                f" {_plane_sql(c)}) + {repr(sum(v * v for v in c))} AS t{mi}_{j}"
+            )
+        whens = []
+        for j in range(ksub - 1):
+            rest = ", ".join(f"t{mi}_{i}" for i in range(j + 1, ksub))
+            least = f"least({rest})" if j + 1 < ksub - 1 else rest
+            whens.append(f"WHEN t{mi}_{j} <= {least} THEN {repr(lut[mi][j])}")
+        picks.append(
+            "CASE " + " ".join(whens) + f" ELSE {repr(lut[mi][ksub - 1])} END"
+        )
+    adc = " + ".join(f"({p})" for p in picks)
+    sub_sql = ",\n".join(sub_scores)
+    return f"""
+        WITH scored AS (
+          SELECT vec_id, embedding, {cell_scores}
+          FROM embeddings WHERE vec_id != 0
+        ),
+        cells AS (
+          SELECT vec_id, embedding, {cell_case} AS centroid_id FROM scored
+        ),
+        coded AS (
+          SELECT vec_id, centroid_id, {sub_sql} FROM cells
+        )
+        SELECT vec_id, round({adc}, 4) AS adc_score
+        FROM coded
+        WHERE centroid_id IN ({", ".join(str(p) for p in probe)})
+        ORDER BY adc_score DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
 def pq_codes_sql(sf_dir: str, m: int = 4, ksub: int = 16, iters: int = 5,
                  sample: int = 4096) -> str:
     """Per-vector PQ codes oracle (grades the streaming encode surface):
@@ -1215,6 +1287,7 @@ def hash_engine_oracle_sql(sf_dir: str) -> dict[str, str]:
         "sim_near_dup_lsh": near_dup_lsh_sql(),
         "sim_ivf_topk": ivf_topk_sql(sf_dir),
         "sim_pq_topk": pq_topk_sql(sf_dir),
+        "sim_ivfpq_topk": ivfpq_topk_sql(sf_dir),
         # the streaming encode is batch-equivalent by construction, so the
         # per-vector code table IS its oracle
         "stream_pq_encode": pq_codes_sql(sf_dir),

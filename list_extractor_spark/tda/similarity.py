@@ -668,3 +668,75 @@ def pq_topk_rerank(
     return brute_force_topk(
         embeddings.join(F.broadcast(short), "vec_id"), query, k
     )
+
+
+# -- IVF-PQ composed index -----------------------------------------------------
+
+
+def ivfpq_encode(embeddings: DataFrame, centroids, codebooks) -> DataFrame:
+    """(vec_id, centroid_id, codes): coarse IVF assignment AND PQ encode in
+    ONE narrow Arrow pass — the combined index build never shuffles and
+    never re-reads the corpus.  The stored index carries NO raw vectors:
+    cell id + m code bytes per vector is the entire serving state (the
+    FAISS IVF-PQ layout; this variant quantizes the raw vector rather than
+    the residual-vs-centroid, trading a little ADC sharpness for an oracle-
+    exact composition of the two quantizers)."""
+    import numpy as np
+
+    cents = [list(map(float, c)) for c in centroids]
+    cb = [[list(map(float, c)) for c in book] for book in codebooks]
+    m = len(cb)
+    dsub = len(cb[0][0])
+    schema = T.StructType([
+        embeddings.schema["vec_id"],
+        T.StructField("centroid_id", T.IntegerType(), False),
+        T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+    ])
+
+    def run(batches):
+        c = np.array(cents, dtype="float64")
+        c_norm2 = (c * c).sum(axis=1)
+        books = np.array(cb, dtype="float64")
+        b_norm2 = (books * books).sum(axis=2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            assign = (-2.0 * (x @ c.T) + c_norm2).argmin(axis=1)
+            codes = np.empty((len(x), m), dtype="int32")
+            for mi in range(m):
+                xs = x[:, mi * dsub:(mi + 1) * dsub]
+                codes[:, mi] = (
+                    -2.0 * (xs @ books[mi].T) + b_norm2[mi]
+                ).argmin(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "centroid_id": assign.astype("int32"),
+                "codes": list(codes),
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(run, schema=schema)
+
+
+def write_ivfpq_index(embeddings: DataFrame, centroids, codebooks,
+                      path: str) -> None:
+    """Materialize the IVF-PQ index ONCE as parquet partitioned by cell:
+    probes prune to nprobe directories AND scan only code columns — the
+    10^9-vector serving shape (cells bound the scan, codes bound the
+    bytes)."""
+    ivfpq_encode(embeddings, centroids, codebooks).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
+
+
+def ivfpq_topk(spark, path: str, centroids, codebooks, query,
+               k: int = 10, nprobe: int = 2) -> DataFrame:
+    """Probe a materialized IVF-PQ index: partition-pruned scan of the
+    nprobe nearest cells, ADC scoring over their code columns (pure JVM,
+    pq_adc_topk) — raw vectors are never touched; chain pq_topk_rerank
+    against the raw corpus when exact ordering of the shortlist matters."""
+    probe = ivf_probe_centroids(query, centroids, nprobe)
+    in_cells = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probe)
+    )
+    return pq_adc_topk(in_cells, query, codebooks, k=k)

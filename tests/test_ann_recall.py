@@ -185,3 +185,37 @@ def test_pq_codebooks_validation(spark, planted):
     df, _q, _t = planted
     with pytest.raises(ValueError, match="divisible"):
         similarity.pq_codebooks(df, m=5)  # DIM=32 not divisible by 5
+
+
+def test_ivfpq_index_is_vectorless_and_equals_composition(spark, tmp_path, planted):
+    """The IVF-PQ index must (a) store NO raw vectors — cell id + codes is
+    the entire serving state, the storage win the composition exists for —
+    and (b) return exactly what composing the two individually-verified
+    operators returns: pq_adc_topk over the vectors that ivf_assign puts in
+    the probed cells."""
+    df, queries, _truth = planted
+    cents = similarity.kmeans_centroids(df, k=16, iters=5)
+    books = similarity.pq_codebooks(df, m=4, ksub=16, iters=5)
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(df, cents, books, path)
+
+    stored = spark.read.parquet(path)
+    assert "embedding" not in stored.columns
+    assert set(stored.columns) == {"vec_id", "codes", "centroid_id"}
+    assert stored.count() == df.count()
+
+    for q in queries[:3]:
+        qv = [float(v) for v in q]
+        got = [tuple(r) for r in
+               similarity.ivfpq_topk(spark, path, cents, books, qv,
+                                     k=10, nprobe=2).collect()]
+        probe = similarity.ivf_probe_centroids(qv, cents, nprobe=2)
+        in_cells = (
+            similarity.ivf_assign(df, cents, keep_embedding=True)
+            .filter(F.col("centroid_id").isin(probe))
+        )
+        want = [tuple(r) for r in
+                similarity.pq_adc_topk(
+                    similarity.pq_encode(in_cells, books), qv, books, k=10
+                ).collect()]
+        assert got == want and got
