@@ -723,10 +723,17 @@ def write_ivfpq_index(embeddings: DataFrame, centroids, codebooks,
     """Materialize the IVF-PQ index ONCE as parquet partitioned by cell:
     probes prune to nprobe directories AND scan only code columns — the
     10^9-vector serving shape (cells bound the scan, codes bound the
-    bytes)."""
-    ivfpq_encode(embeddings, centroids, codebooks).write.mode(
-        "overwrite"
-    ).partitionBy("centroid_id").parquet(path)
+    bytes).
+
+    The code rows are pre-shuffled onto their cell before the partitioned
+    write: without it every writer task opens a file in every cell dir
+    (tasks x cells small files — measured 74.6 s vs 4.0 s at 1M x 256
+    cells, scripts/smoke_pq.py), and unlike write_ivf_cells the thing being
+    shuffled here is the 64x-compressed code table, not raw vectors, so the
+    exchange is ~free."""
+    ivfpq_encode(embeddings, centroids, codebooks).repartition(
+        "centroid_id"
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
 def ivfpq_topk(spark, path: str, centroids, codebooks, query,

@@ -91,8 +91,23 @@ def main():
           similarity.pq_topk_rerank(corpus, codes, query, books, k=K).collect()]
     t_rerank = time.time() - t0
 
+    # IVF-PQ composed index: build once (one narrow pass), probe pruned
+    import tempfile
+
+    t0 = time.time()
+    cents = similarity.kmeans_centroids(corpus, k=256, iters=5)
+    path = tempfile.mkdtemp(prefix="sg_smoke_ivfpq_")
+    similarity.write_ivfpq_index(corpus, cents, books, path)
+    t_ivfpq_build = time.time() - t0
+    t0 = time.time()
+    ivfpq = [r["vec_id"] for r in
+             similarity.ivfpq_topk(spark, path, cents, books, query,
+                                   k=K, nprobe=2).collect()]
+    t_ivfpq_probe = time.time() - t0
+
     adc_in_cluster = sum(1 for i in adc if i % CLUSTERS == 0) / K
     rerank_in_cluster = sum(1 for i in rr if i % CLUSTERS == 0) / K
+    ivfpq_in_cluster = sum(1 for i in ivfpq if i % CLUSTERS == 0) / K
     print(json.dumps({
         "n_vecs": n_codes, "dim": DIM, "m": M, "ksub": KSUB, "cpus": CPUS,
         "train_sec": round(t_train, 2),
@@ -104,6 +119,9 @@ def main():
         "codes_mb": round(N * M * 4 / 1e6, 1),  # int32 codes; int8-packable to N*M
         "adc_cluster_precision": adc_in_cluster,
         "rerank_cluster_precision": rerank_in_cluster,
+        "ivfpq_build_sec": round(t_ivfpq_build, 2),
+        "ivfpq_probe_sec": round(t_ivfpq_probe, 2),
+        "ivfpq_cluster_precision": ivfpq_in_cluster,
     }))
     spark.stop()
 
