@@ -90,13 +90,42 @@ def build_bloom(keys: DataFrame, fpp: float = 1e-6) -> BloomSet:
     # of scheduling latency each on a busy driver); a count job otherwise
     from .stats import local_relation_rows
 
-    n = local_relation_rows(keys)
-    if n is None:
-        n = keys.count()
+    n_local = local_relation_rows(keys)
+    n = n_local if n_local is not None else keys.count()
     if n == 0:
         return BloomSet(b"\x00" * 128, 1, 1024)
     m_bits, k = _params(n, fpp)
     n_bytes = m_bits // 8
+
+    # PERF (r7, guide §1.2/§5): when the key set collapsed to a LocalRelation
+    # the rows already live in the driver JVM — LocalTableScanExec.collect()
+    # short-circuits without scheduling tasks, so build the bitmap right here
+    # instead of paying two Python stages + a shuffle + a collect (~0.6 s of
+    # pure scheduling for a fixture-sized index).  Same hash kernel, same
+    # m/k, bit-identical bitmap.  A real dump-backed index (file scan) never
+    # collapses to a LocalRelation, so the distributed path still owns scale;
+    # the row bound caps driver work even for a pathological local plan.
+    if n_local is not None and n_local <= (1 << 20):
+        import numpy as np
+
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        rows = keys.select("lang", "surface").collect()
+        if rows:
+            ii = np.arange(k, dtype=np.uint64)
+            digests = b"".join(
+                hashlib.blake2b(
+                    r[0].encode("utf-8") + b"\x00" + r[1].encode("utf-8"),
+                    digest_size=16,
+                ).digest()
+                for r in rows
+            )
+            raw = np.frombuffer(digests, dtype="<u8").reshape(-1, 2)
+            h1, h2 = raw[:, 0], raw[:, 1] | np.uint64(1)
+            pos = (h1[:, None] + ii[None, :] * h2[:, None]) % np.uint64(m_bits)
+            byte_idx = (pos >> np.uint64(3)).astype(np.int64).ravel()
+            masks = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)).ravel()
+            np.bitwise_or.at(bits, byte_idx, masks)
+        return BloomSet(bits.tobytes(), k, m_bits)
 
     def partition_bitmap(batches):
         # per-key python work is ONE C-level blake2b call; positions and

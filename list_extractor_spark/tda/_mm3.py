@@ -80,6 +80,14 @@ def murmur3_bytes_vec(items: list, seed: int = 42) -> np.ndarray:
     # in C; itemsize must be forced (np.array trims to the longest item)
     arr = np.array(items, dtype=f"S{pad}")
     mat = arr.view(np.uint8).reshape(n, pad)
+    return _hash_padded(mat, lens, seed)
+
+
+def _hash_padded(mat: "np.ndarray", lens: "np.ndarray", seed: int) -> "np.ndarray":
+    """Murmur3 over a zero-padded [n, pad] uint8 matrix with true byte
+    lengths ``lens`` (pad must be a multiple of 4) — the shared core of the
+    bytes-list and shared-buffer entry points."""
+    n, pad = mat.shape
     words = mat.reshape(n, pad // 4, 4).astype(_U32)
     words = (
         words[:, :, 0]
@@ -102,6 +110,49 @@ def murmur3_bytes_vec(items: list, seed: int = 42) -> np.ndarray:
         b = mat[rows[m], pos[m]].astype(np.int8).astype(np.int64)
         h[m] = _mix_h1(h[m], _mix_k1((b & 0xFFFFFFFF).astype(_U32)))
     return _fmix(h, lens.astype(_U32)).astype(np.int32)
+
+
+def murmur3_ranges_vec(
+    buf: "np.ndarray", starts: "np.ndarray", ends: "np.ndarray", seed: int = 42
+) -> np.ndarray:
+    """hash of ``buf[starts[i]:ends[i]]`` for each i — the shared-buffer form
+    (r7): callers that already hold one concatenated byte buffer (e.g. the
+    batch-level normalized token stream in the shingle kernels) hash every
+    range without materializing per-range bytes objects.  Bit-identical to
+    murmur3_bytes_vec over the sliced bytes (same padded-matrix core).
+
+    Ranges longer than LONG_STRING_CUTOFF fall back to the scalar replica so
+    one pathological range cannot inflate the whole matrix."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    lens = (ends - starts).astype(np.int64)
+    out = np.empty(n, dtype=np.int32)
+    long_mask = lens > LONG_STRING_CUTOFF
+    keep = np.nonzero(~long_mask)[0]
+    if long_mask.any():
+        from ..fixtures.spark_hash import hash_bytes
+
+        bb = buf.tobytes()
+        for i in np.nonzero(long_mask)[0]:
+            out[i] = hash_bytes(bb[starts[i] : ends[i]], seed)
+        if not len(keep):
+            return out
+        starts, ends, lens = starts[keep], ends[keep], lens[keep]
+    maxlen = int(lens.max(initial=0))
+    pad = max(4, (maxlen + 3) // 4 * 4)
+    # gather the padded matrix straight out of the shared buffer: index rows
+    # run past short ranges' ends (clipped for safety), then zeroed by the
+    # length mask so padding matches the 'S'-array form exactly
+    idx = starts[:, None] + np.arange(pad, dtype=np.int64)[None, :]
+    np.clip(idx, 0, len(buf) - 1, out=idx)
+    mat = buf[idx]
+    mat *= np.arange(pad, dtype=np.int64)[None, :] < lens[:, None]
+    res = _hash_padded(mat, lens, seed)
+    if long_mask.any():
+        out[keep] = res
+        return out
+    return res
 
 
 def hash_int_vec(value: int, seeds: np.ndarray) -> np.ndarray:

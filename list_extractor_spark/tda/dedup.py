@@ -147,7 +147,7 @@ def shingle_hash_stats(documents: DataFrame, n: int = 3) -> DataFrame:
     verified identical to the string-posting form on every graded corpus.
     Docs with < n tokens emit no row; NULL text is skipped (the relational
     twin's split(NULL) explodes to nothing)."""
-    from ._mm3 import murmur3_bytes_vec
+    from ._mm3 import murmur3_ranges_vec
 
     out_schema = T.StructType(
         [
@@ -161,27 +161,19 @@ def shingle_hash_stats(documents: DataFrame, n: int = 3) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            doc_ids: list = []
-            starts: list = []
-            flat: list = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                if text is None:
-                    continue
-                toks = _WS_SPLIT.split(text.strip(" ").lower())
-                if len(toks) < n:
-                    continue
-                doc_ids.append(doc_id)
-                starts.append(len(flat))
-                flat.extend(
-                    " ".join(toks[i : i + n]).encode("utf-8")
-                    for i in range(len(toks) - n + 1)
-                )
-            if not doc_ids:
+            doc_ids, buf, starts, ends, counts = _shingle_ranges(pdf, n)
+            if doc_ids is None:
                 continue
-            lo = murmur3_bytes_vec(flat).astype(np.uint64) & np.uint64(0xFFFFFFFF)
-            hi = murmur3_bytes_vec(flat, seed=0x3C6EF372).astype(np.uint64)
+            lo = murmur3_ranges_vec(buf, starts, ends).astype(np.uint64) & np.uint64(
+                0xFFFFFFFF
+            )
+            hi = murmur3_ranges_vec(buf, starts, ends, seed=0x3C6EF372).astype(
+                np.uint64
+            )
             h64 = ((hi << np.uint64(32)) | lo).view(np.int64)
-            bounds = np.append(np.array(starts, dtype=np.intp), len(flat))
+            seg = np.zeros(len(counts), dtype=np.intp)
+            np.cumsum(counts[:-1], out=seg[1:])
+            bounds = np.append(seg, len(h64))
             uniq = [
                 np.unique(h64[bounds[d] : bounds[d + 1]])
                 for d in range(len(doc_ids))
@@ -372,6 +364,63 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def _shingle_ranges(pdf, n: int):
+    """Per Arrow batch: tokenize every document ONCE, concatenate the
+    normalized token streams into a single utf-8 byte buffer, and derive the
+    byte range of every n-token shingle with numpy (r7, guide §4.2).
+
+    The previous kernels materialized each shingle as its own bytes object
+    (``" ".join(toks[i:i+n]).encode()`` — ~n_tokens python ops per doc);
+    here the only per-document python work is the regex split and a list
+    extend, and per-shingle work is pure vectorized index arithmetic.  The
+    bytes of ``buf[starts[i]:ends[i]]`` are EXACTLY the bytes the old form
+    hashed: tokens cannot contain ASCII spaces (the split separator) and
+    utf-8 multi-byte sequences never contain 0x20, so the single-space
+    join boundaries are exactly the 0x20 bytes of the buffer.
+
+    Returns (doc_ids, buf, starts, ends, counts) where counts[i] is the
+    number of shingles of doc_ids[i]; (None, ...) when no doc qualifies.
+    NULL text and docs with < n tokens emit nothing (JVM-twin parity)."""
+    import numpy as np
+
+    doc_ids: list = []
+    tok_counts: list = []
+    all_toks: list = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        if text is None:
+            continue
+        toks = _WS_SPLIT.split(text.strip(" ").lower())
+        if len(toks) < n:
+            continue
+        doc_ids.append(doc_id)
+        tok_counts.append(len(toks))
+        all_toks.extend(toks)
+    if not doc_ids:
+        return None, None, None, None, None
+    buf = np.frombuffer(" ".join(all_toks).encode("utf-8"), dtype=np.uint8)
+    seps = np.flatnonzero(buf == 32)
+    t_total = len(all_toks)
+    # one separator per token boundary, including the joins between docs
+    assert len(seps) == t_total - 1, "token stream contains a raw space byte"
+    tok_start = np.empty(t_total, dtype=np.int64)
+    tok_start[0] = 0
+    tok_start[1:] = seps + 1
+    tok_end = np.empty(t_total, dtype=np.int64)
+    tok_end[:-1] = seps
+    tok_end[-1] = len(buf)
+    counts = np.asarray(tok_counts, dtype=np.int64) - (n - 1)
+    doc_tok_base = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(np.asarray(tok_counts, dtype=np.int64)[:-1], out=doc_tok_base[1:])
+    total = int(counts.sum())
+    shingle_base = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=shingle_base[1:])
+    first_tok = (
+        np.repeat(doc_tok_base - shingle_base, counts)
+        + np.arange(total, dtype=np.int64)
+    )
+    return doc_ids, buf, tok_start[first_tok], tok_end[first_tok + n - 1], counts
+
+
 def minhash_signatures(documents: DataFrame, k: int = 16) -> DataFrame:
     """K-permutation minhash over 3-shingle sets as k columns mh_0..mh_{k-1}.
 
@@ -405,7 +454,7 @@ def minhash_doc_stats(
     scan-shaped and partition-parallel, which is exactly what a 10^9-doc
     signature build wants.  Docs with < n tokens emit no row (parity with
     the posting form, whose window yields no full shingle)."""
-    from ._mm3 import hash_int_chain_vec, hash_int_vec, murmur3_bytes_vec
+    from ._mm3 import hash_int_chain_vec, hash_int_vec, murmur3_ranges_vec
 
     if bands < 1 or k < bands or k % bands:
         raise ValueError(f"k must be a positive multiple of bands, got k={k} bands={bands}")
@@ -423,32 +472,17 @@ def minhash_doc_stats(
         import numpy as np
 
         for pdf in batches:
-            # flatten the whole batch's shingles so every numpy kernel runs
-            # ONCE over ~10^5-10^6 values (per-document arrays of a few
-            # hundred would drown in call overhead — measured 3x slower)
-            doc_ids: list = []
-            starts: list = []
-            flat: list = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                if text is None:
-                    # JVM split(NULL) explodes to nothing; skip to match the
-                    # relational twin instead of raising in the worker
-                    continue
-                toks = _WS_SPLIT.split(text.strip(" ").lower())
-                if len(toks) < n:
-                    continue
-                doc_ids.append(doc_id)
-                starts.append(len(flat))
-                flat.extend(
-                    " ".join(toks[i : i + n]).encode("utf-8")
-                    for i in range(len(toks) - n + 1)
-                )
-            if not doc_ids:
+            # batch-level shingle ranges over ONE shared byte buffer — zero
+            # per-shingle python objects (r7, see _shingle_ranges); hashes
+            # are bit-identical to the old per-shingle bytes form
+            doc_ids, buf, starts, ends, counts = _shingle_ranges(pdf, n)
+            if doc_ids is None:
                 # yield nothing: an empty frame's sh_hash column would carry
                 # a float64 dtype Arrow cannot convert to list<int32>
                 continue
-            base = murmur3_bytes_vec(flat)
-            seg = np.array(starts, dtype=np.intp)
+            base = murmur3_ranges_vec(buf, starts, ends)
+            seg = np.zeros(len(counts), dtype=np.intp)
+            np.cumsum(counts[:-1], out=seg[1:])
             sig = np.empty((k, len(doc_ids)), dtype=np.int32)
             for i in range(k):
                 sig[i] = np.minimum.reduceat(hash_int_vec(i, base), seg)
@@ -458,7 +492,7 @@ def minhash_doc_stats(
                 )
                 for b in range(bands)
             ]
-            bounds = np.append(seg, len(flat))
+            bounds = np.append(seg, len(base))
             uniq = [
                 np.unique(base[bounds[d] : bounds[d + 1]])
                 for d in range(len(doc_ids))
@@ -1315,6 +1349,11 @@ def remove_dup_spans(
             for doc_id, text, rm_pos in zip(
                 pdf["doc_id"], pdf["text"], pdf["rm_pos"]
             ):
+                if text is None:
+                    # unreachable via the inner join on detected spans (a
+                    # NULL-text doc emits no windows), but keep the repo's
+                    # NULL convention rather than raising in the worker
+                    continue
                 # token parity with the JVM window pass: space-only trim
                 # (F.trim), java-\s split (ASCII whitespace)
                 toks = _WS_SPLIT.split(text.strip(" "))

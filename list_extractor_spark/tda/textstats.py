@@ -454,6 +454,10 @@ def _line_filter_arrow(
         for pdf in batches:
             recs = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # the JVM line_filter drops NULL-text rows (split(NULL)
+                    # explodes to nothing); skip instead of raising (r7 fix)
+                    continue
                 lines = text.split("\n")
                 kept = []
                 for line in lines:
@@ -551,6 +555,9 @@ def compression_ratio(documents: DataFrame, level: int = 6) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            # NULL text is skipped (repo convention: JVM twins drop those
+            # rows; .encode() on None would raise in the worker — r7 fix)
+            pdf = pdf[pdf["text"].notna()]
             if not len(pdf):
                 continue
             raw = [t.encode("utf-8") for t in pdf["text"]]

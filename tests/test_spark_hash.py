@@ -174,3 +174,67 @@ def test_vectorized_murmur3_matches_scalar_replica_and_spark(spark):
     b = murmur3_bytes_vec([s.encode("utf-8") for s in shingles])
     for col, i in enumerate((0, 7)):
         assert [r[f"h{i}"] for r in rows] == list(hash_int_vec(i, b))
+
+
+def test_murmur3_ranges_matches_bytes_form():
+    """r7 shared-buffer form: hashing buf[s:e] ranges must be bit-identical
+    to murmur3_bytes_vec over the sliced bytes, across multi-byte utf-8,
+    empty ranges, word-boundary lengths and the long-string fallback."""
+    import numpy as np
+
+    from list_extractor_spark.tda._mm3 import (
+        LONG_STRING_CUTOFF,
+        murmur3_bytes_vec,
+        murmur3_ranges_vec,
+    )
+
+    pieces = [
+        b"one two three",
+        "vier fünf sechs".encode("utf-8"),
+        b"",
+        b"x",
+        b"abcd",
+        b"abcdefg",
+        b"q" * (LONG_STRING_CUTOFF + 17),  # long fallback
+        "☃☃ snow".encode("utf-8"),
+    ]
+    buf = np.frombuffer(b"".join(pieces), dtype=np.uint8)
+    ends = np.cumsum([len(p) for p in pieces]).astype(np.int64)
+    starts = np.concatenate([[0], ends[:-1]]).astype(np.int64)
+    for seed in (42, 0x3C6EF372):
+        got = murmur3_ranges_vec(buf, starts, ends, seed=seed)
+        want = murmur3_bytes_vec(pieces, seed=seed)
+        assert list(got) == list(want)
+
+
+def test_shingle_ranges_bytes_match_join_form():
+    """_shingle_ranges byte windows must equal the per-shingle
+    ' '.join(toks[i:i+n]).encode() the old kernels hashed."""
+    import pandas as pd
+
+    from list_extractor_spark.tda.dedup import _WS_SPLIT, _shingle_ranges
+
+    texts = [
+        "One two three four five",
+        "\talpha  beta gamma delta",  # leading tab -> empty token; nbsp kept
+        "too short",
+        None,
+        "a b c",
+        "x " * 400,
+    ]
+    pdf = pd.DataFrame({"doc_id": [str(i) for i in range(len(texts))], "text": texts})
+    doc_ids, buf, starts, ends, counts = _shingle_ranges(pdf, 3)
+    bb = buf.tobytes()
+    got = [bb[s:e] for s, e in zip(starts, ends)]
+    want_ids, want = [], []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        if text is None:
+            continue
+        toks = _WS_SPLIT.split(text.strip(" ").lower())
+        if len(toks) < 3:
+            continue
+        want_ids.append(doc_id)
+        want.extend(" ".join(toks[i : i + 3]).encode("utf-8") for i in range(len(toks) - 2))
+    assert doc_ids == want_ids
+    assert got == want
+    assert int(counts.sum()) == len(want)
