@@ -636,10 +636,14 @@ def minhash_incremental_pairs(
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, both cross-side and
     (when ``within_incoming``) batch-internal pairs — feed dedup_incoming
     or near_dup_resolve for verdicts."""
-    stats_c = minhash_doc_stats(corpus, k=k, bands=bands).localCheckpoint(
+    from ..engine.stats import spread_scan
+
+    # spread (r7): single-file sources otherwise serialize each signature
+    # pass on one core — no-op when the inputs are already split
+    stats_c = minhash_doc_stats(spread_scan(corpus), k=k, bands=bands).localCheckpoint(
         eager=True
     )
-    stats_i = minhash_doc_stats(incoming, k=k, bands=bands).localCheckpoint(
+    stats_i = minhash_doc_stats(spread_scan(incoming), k=k, bands=bands).localCheckpoint(
         eager=True
     )
 
@@ -690,6 +694,10 @@ def minhash_incremental_pairs(
             [len(np.intersect1d(a, b, assume_unique=True)) for a, b in zip(ha, hb)],
             dtype="int32",
         )
+
+    # one ArrowEvalPython node, not two (r7, guide §4.4 — see
+    # minhash_lsh_pairs): the jaccard filter otherwise duplicates the UDF
+    _common = _common.asNondeterministic()
 
     stats_all = stats_c.unionByName(stats_i)
     side = lambda s: stats_all.select(  # noqa: E731

@@ -226,6 +226,10 @@ def winnow_posting_arrow(documents: DataFrame, k: int = 8, w: int = 4) -> DataFr
         for pdf in batches:
             ids, fps = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # JVM twin drops NULL-text rows (split/substring of NULL
+                    # yields nothing); skip instead of raising (r7 fix)
+                    continue
                 t = ws_re.sub(" ", text.lower())
                 if len(t) < k:
                     continue
