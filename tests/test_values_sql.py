@@ -46,3 +46,24 @@ def test_values_sql_empty_rows():
     sql = values_sql([], [("a", "VARCHAR"), ("b", "BIGINT")])
     out = duckdb.sql(sql)
     assert out.fetchall() == [] and [d[0] for d in out.description] == ["a", "b"]
+
+
+def test_contract_size_single_source_of_truth():
+    """VERDICT r6 'What's wrong #2': three artifacts disagreed on the
+    contract size (78/86/91).  The authoritative count is len(queries());
+    every entry must carry an oracle_sql() twin, and the counts documented
+    in the queries() comment and COVERAGE.md must match it."""
+    import os
+    import re
+
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(q) == set(o), sorted(set(q) ^ set(o))
+    n = len(q)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    entry_src = open(os.path.join(root, "__spark_entry__.py")).read()
+    assert f"— {n} as of" in entry_src, "queries() comment count drifted"
+    cov = open(os.path.join(root, "COVERAGE.md")).read()
+    assert f"{n}/{n} as of" in cov, "COVERAGE.md count drifted"
