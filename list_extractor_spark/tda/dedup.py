@@ -216,8 +216,16 @@ def _hashed_pair_counts(documents: DataFrame, n: int, df_cap: int | None):
     capped = _cap_postings(posting, "sh", df_cap)
     a = capped.select(F.col("doc_id").alias("doc_a"), "sh")
     b = capped.select(F.col("doc_id").alias("doc_b"), "sh")
+    # hint("merge") on the self-join (r7, guide §3.1 "pick the strategy
+    # deliberately"): the planner's static estimate for the posting descends
+    # from the COMPRESSED source file size through the checkpoint, so it
+    # broadcast the multi-million-row capped posting as a hash relation —
+    # a single-threaded build locally (A/B: 1.87 s -> 1.20 s) and an OOM
+    # cliff at scale.  Sort-merge reuses the cap window's sort on sh (no
+    # extra sort in the plan) and spills gracefully; results identical
+    # (asserted in scripts/ab_selfjoin_r07.py and by the oracle).
     return (
-        a.join(b, "sh")
+        a.join(b.hint("merge"), "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
@@ -569,9 +577,14 @@ def minhash_lsh_pairs(
         ).alias("band_id", "bh"),
     )
     banded = _cap_postings(banded, ["band_id", "bh"], bucket_cap)
+    # hint("merge") (r7, guide §3.1): the static estimate descends from the
+    # compressed source through the checkpoint, so the planner broadcast the
+    # banded table (4 rows/doc — corpus-sized at scale) as a hash relation;
+    # sort-merge reuses the cap window's sort on (band_id, bh) and A/B'd
+    # 1.41 -> 1.16 s at sf1.0 (scripts/ab_banded_r07.py, identical outputs).
     cand = (
         banded.alias("x")
-        .join(banded.alias("y"), ["band_id", "bh"])
+        .join(banded.hint("merge").alias("y"), ["band_id", "bh"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
@@ -664,9 +677,12 @@ def minhash_incremental_pairs(
     )
     b_c = both.filter(F.col("side") == "c").drop("side")
     b_i = both.filter(F.col("side") == "i").drop("side")
+    # hint("merge") (r7): same estimate-underflow broadcast hazard as the
+    # self-join form — see minhash_lsh_pairs; the cap window's sort on
+    # (band_id, bh) is reused by the sort-merge join
     cross = (
         b_i.alias("x")
-        .join(b_c.alias("y"), ["band_id", "bh"])
+        .join(b_c.hint("merge").alias("y"), ["band_id", "bh"])
         .select(
             F.least("x.doc_id", "y.doc_id").alias("doc_a"),
             F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
@@ -676,7 +692,7 @@ def minhash_incremental_pairs(
     if within_incoming:
         within = (
             b_i.alias("x")
-            .join(b_i.alias("y"), ["band_id", "bh"])
+            .join(b_i.hint("merge").alias("y"), ["band_id", "bh"])
             .filter(F.col("x.doc_id") < F.col("y.doc_id"))
             .select(
                 F.col("x.doc_id").alias("doc_a"),
