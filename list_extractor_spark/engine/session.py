@@ -12,6 +12,13 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _shuffle_compress_default() -> str:
+    """'false' when shuffle blocks live on RAM-backed tmpfs (compressing
+    RAM->RAM copies is pure CPU), 'true' for any disk/network-backed dirs."""
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    return "false" if local_dir.startswith("/dev/shm") else "true"
+
+
 def get_spark(
     app_name: str = "list_extractor_spark",
     master: str | None = None,
@@ -58,6 +65,22 @@ def get_spark(
         # slow /tmp; with 125 GB RAM the spill path belongs in memory (a real
         # cluster uses NVMe-backed local dirs / push-based shuffle instead)
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        # shuffle compression follows the shuffle medium (r7, guide §2.3
+        # "there is no universal answer — measure"): when the local dirs are
+        # RAM-backed tmpfs (the local-mode default above) every shuffle
+        # byte moves RAM->RAM with no network leg, so lz4 is pure CPU on
+        # both ends of every exchange (A/B: bench total 7.59 -> 7.35 s).
+        # Any non-tmpfs deployment — a real cluster shipping blocks over a
+        # NIC, or disk-backed local dirs — keeps compression on; the env
+        # var overrides either way.
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", _shuffle_compress_default()),
+        )
+        .config(
+            "spark.shuffle.spill.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", _shuffle_compress_default()),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
